@@ -1,0 +1,70 @@
+"""Training losses.
+
+Parity with reference train.py:113-143 + utils/loss_utils.py: photometric
+L1 + D-SSIM mix, depth-distortion and normal-consistency regularizers with
+their 3000/7000 iteration gates, and the DINO embedding term. Gates are
+traced (`jnp.where` on the iteration) so one compiled step serves the whole
+schedule.
+
+DINO parity note (SURVEY.md §7.1): the reference computes both embeddings
+under `torch.inference_mode()` and *adds* +lambda*cos_sim, so no gradient
+flows and the "loss" reduces alignment in logs only. We implement both: the
+faithful mode (stop_gradient, +cos) and a corrected differentiable mode
+(lambda * (1 - cos)) selected by `dino_mode`.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gaussmart_tpu.ops.image import l1_loss
+from gaussmart_tpu.ops.ssim import ssim
+
+
+def photometric_loss(image: jnp.ndarray, gt: jnp.ndarray, lambda_dssim: float):
+    ll1 = l1_loss(image, gt)
+    loss = (1.0 - lambda_dssim) * ll1 + lambda_dssim * (1.0 - ssim(image, gt))
+    return loss, ll1
+
+
+def regularization_losses(render_pkg: Dict[str, jnp.ndarray], iteration,
+                          lambda_dist: float, lambda_normal: float):
+    """train.py:131-140: dist gated > 3000, normal gated > 7000."""
+    it = jnp.asarray(iteration, jnp.float32)
+    lam_n = jnp.where(it > 7000, lambda_normal, 0.0)
+    lam_d = jnp.where(it > 3000, lambda_dist, 0.0)
+
+    rend_normal = render_pkg["rend_normal"]
+    surf_normal = render_pkg["surf_normal"]
+    normal_error = 1.0 - (rend_normal * surf_normal).sum(axis=0)
+    normal_loss = lam_n * normal_error.mean()
+    dist_loss = lam_d * render_pkg["rend_dist"].mean()
+    return dist_loss, normal_loss
+
+
+def dino_term(image: jnp.ndarray, gt: jnp.ndarray,
+              encoder: Callable[[jnp.ndarray], jnp.ndarray],
+              lambda_dino: float, mode: str = "fixed") -> jnp.ndarray:
+    """DINO embedding alignment term.
+
+    mode="parity": +lambda*cos_sim with stop_gradient on both embeddings
+      (byte-faithful to loss_utils.py:77-97 — affects logs only).
+    mode="fixed": lambda*(1-cos_sim), gradient flows into the render.
+    """
+    if mode == "parity":
+        e1 = jax.lax.stop_gradient(encoder(image))
+        e2 = jax.lax.stop_gradient(encoder(gt))
+        cos = _cosine(e1, e2)
+        return lambda_dino * cos
+    e1 = encoder(image)
+    e2 = jax.lax.stop_gradient(encoder(gt))
+    return lambda_dino * (1.0 - _cosine(e1, e2))
+
+
+def _cosine(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    a = a.reshape(-1)
+    b = b.reshape(-1)
+    denom = jnp.linalg.norm(a) * jnp.linalg.norm(b)
+    return jnp.dot(a, b) / jnp.maximum(denom, 1e-8)

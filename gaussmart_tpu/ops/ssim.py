@@ -1,0 +1,63 @@
+"""Windowed SSIM on TPU.
+
+Behavior parity with reference utils/loss_utils.py:22-62 (11x11 Gaussian
+window, sigma 1.5, C1=0.01^2, C2=0.03^2, reflect-free zero padding via SAME
+conv). TPU-first design differences: the window is built once at trace time
+(the reference rebuilds it per call — SURVEY.md §7.10), and the 2D Gaussian
+blur is expressed as two separable 1D convolutions so XLA lowers it to cheap
+small convs instead of an 11x11 dense filter.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
+    xs = np.arange(window_size)
+    g = np.exp(-((xs - window_size // 2) ** 2) / (2.0 * sigma**2))
+    return (g / g.sum()).astype(np.float32)
+
+
+def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
+    """Separable Gaussian blur over [N, C, H, W] with zero 'SAME' padding."""
+    n, c, h, w = img.shape
+    k = window.shape[0]
+    x = img.reshape(n * c, 1, h, w)
+    kh = window.reshape(1, 1, k, 1)
+    kw = window.reshape(1, 1, 1, k)
+    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
+    pad = k // 2
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn)
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn)
+    return x.reshape(n, c, h, w)
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
+         sigma: float = 1.5, size_average: bool = True) -> jnp.ndarray:
+    """SSIM between [C,H,W] or [N,C,H,W] images in [0,1]."""
+    if img1.ndim == 3:
+        img1 = img1[None]
+        img2 = img2[None]
+    window = jnp.asarray(_gaussian_window(window_size, sigma))
+
+    mu1 = _blur(img1, window)
+    mu2 = _blur(img2, window)
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu1_mu2 = mu1 * mu2
+    sigma1_sq = _blur(img1 * img1, window) - mu1_sq
+    sigma2_sq = _blur(img2 * img2, window) - mu2_sq
+    sigma12 = _blur(img1 * img2, window) - mu1_mu2
+
+    c1 = 0.01**2
+    c2 = 0.03**2
+    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))
+    if size_average:
+        return ssim_map.mean()
+    return ssim_map.mean(axis=(1, 2, 3))

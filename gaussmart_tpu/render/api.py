@@ -1,0 +1,119 @@
+"""Public differentiable render API.
+
+Returns the same dict contract as reference gaussian_renderer/__init__.py:19
+(`render, viewspace_points, visibility_filter, radii, rend_alpha,
+rend_normal, rend_dist, surf_depth, surf_normal`) with one JAX-ism: instead
+of a `retain_grad` dummy tensor, `means2d` is an explicit zeros input whose
+cotangent (from jax.grad) is the screen-space densification gradient.
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gaussmart_tpu.cameras import CameraParams
+from gaussmart_tpu.models.gaussians import GaussianState
+from gaussmart_tpu.ops.depth_normal import depth_to_normal
+from gaussmart_tpu.render import raster_common
+from gaussmart_tpu.render.raster_dense import rasterize_pixels
+
+
+def render(
+    cam: CameraParams,
+    state: GaussianState,
+    bg_color: jnp.ndarray,
+    *,
+    means2d: Optional[jnp.ndarray] = None,
+    scaling_modifier: float = 1.0,
+    override_color: Optional[jnp.ndarray] = None,
+    depth_ratio: float = 0.0,
+    backend: str = "auto",
+    chunk: int = 64,
+) -> Dict[str, jnp.ndarray]:
+    return render_arrays(
+        cam,
+        xyz=state.params.xyz,
+        scaling=state.get_scaling,
+        rotation=state.params.rotation,
+        opacity=state.get_opacity[:, 0],
+        features=state.get_features,
+        active=state.aux.active,
+        sh_degree=state.active_sh_degree,
+        bg_color=bg_color,
+        means2d=means2d,
+        scaling_modifier=scaling_modifier,
+        override_color=override_color,
+        depth_ratio=depth_ratio,
+        backend=backend,
+        chunk=chunk,
+    )
+
+
+def render_arrays(
+    cam: CameraParams,
+    *,
+    xyz: jnp.ndarray,
+    scaling: jnp.ndarray,
+    rotation: jnp.ndarray,
+    opacity: jnp.ndarray,
+    features: jnp.ndarray,
+    active: jnp.ndarray,
+    sh_degree: int,
+    bg_color: jnp.ndarray,
+    means2d: Optional[jnp.ndarray] = None,
+    scaling_modifier: float = 1.0,
+    override_color: Optional[jnp.ndarray] = None,
+    depth_ratio: float = 0.0,
+    backend: str = "auto",
+    chunk: int = 64,
+) -> Dict[str, jnp.ndarray]:
+    """Render from raw (already activated) arrays — the grad entry point."""
+    n = xyz.shape[0]
+    if means2d is None:
+        means2d = jnp.zeros((n, 2), jnp.float32)
+
+    prep = raster_common.preprocess(
+        xyz, scaling, rotation, opacity, features, active, cam,
+        sh_degree=sh_degree, scale_modifier=scaling_modifier,
+        override_color=override_color)
+
+    from gaussmart_tpu.render import raster_pallas
+    if backend == "pallas" or (backend == "auto" and raster_pallas.available()):
+        out = raster_pallas.rasterize_tiled(prep, means2d, bg_color,
+                                            cam.width, cam.height)
+    else:
+        out = rasterize_pixels(prep, means2d, bg_color, cam.width, cam.height,
+                               chunk=chunk)
+
+    image, allmap = out["image"], out["allmap"]
+
+    # --- aux decode (gaussian_renderer/__init__.py:117-147) ---------------
+    render_alpha = allmap[1:2]
+    # view->world normals
+    render_normal = allmap[2:5]
+    render_normal = jnp.einsum(
+        "chw,cd->dhw", render_normal, cam.world_view[:3, :3].T)
+    render_depth_median = jnp.nan_to_num(allmap[5:6], 0, 0)
+    render_depth_expected = jnp.nan_to_num(
+        allmap[0:1] / jnp.where(render_alpha == 0, jnp.nan, render_alpha), 0, 0)
+    render_dist = allmap[6:7]
+
+    surf_depth = (render_depth_expected * (1 - depth_ratio)
+                  + depth_ratio * render_depth_median)
+    surf_normal = depth_to_normal(cam, surf_depth)
+    surf_normal = jnp.transpose(surf_normal, (2, 0, 1))
+    surf_normal = surf_normal * jax.lax.stop_gradient(render_alpha)
+
+    return {
+        "render": image,
+        "viewspace_points": means2d,
+        "visibility_filter": prep.radius > 0,
+        "radii": prep.radius,
+        "rend_alpha": render_alpha,
+        "rend_normal": render_normal,
+        "rend_dist": render_dist,
+        "surf_depth": surf_depth,
+        "surf_normal": surf_normal,
+    }

@@ -1,0 +1,138 @@
+"""Shared per-splat preprocessing for the 2DGS surfel rasterizer.
+
+Replicates the behavior of the CUDA preprocess stage of
+`diff-surfel-rasterization` (reference submodule N1; call surface documented
+at gaussian_renderer/__init__.py:37-106 and SURVEY.md §2.2): build the 3x3
+homogeneous splat->pixel transform T, project centers, compute bounding radii
+and view-space normals, and evaluate SH colors. Pure vectorized jnp — XLA
+fuses this whole stage into a handful of kernels; both the dense and the
+Pallas compositors consume its outputs.
+
+Geometry convention (row vectors, matching the reference Python mirror at
+gaussian_renderer/__init__.py:64-75):
+    [u, v, 1] @ T = (px * z_view, py * z_view, z_view)
+so T's columns are (Tu, Tv, Tw) with Tw giving view-space depth.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gaussmart_tpu.cameras import CameraParams
+from gaussmart_tpu.ops.sh import eval_sh
+from gaussmart_tpu.transforms import quat_to_rotmat
+
+# Constants mirroring the CUDA kernel's auxiliary.h
+NEAR_PLANE = 0.2          # near cull + distortion mapping near
+FAR_PLANE = 100.0         # distortion mapping far
+FILTER_INV_SQUARE = 2.0   # screen-space low-pass: sigma^2 = 0.5 px
+ALPHA_EPS = 1.0 / 255.0   # skip threshold
+T_EPS = 1e-4              # front-to-back early termination
+ALPHA_MAX = 0.99
+
+
+class Preprocessed(NamedTuple):
+    """Per-splat rasterization inputs, all shape [N, ...]."""
+    T: jnp.ndarray            # [N,3,3] splat->homogeneous-pixel transform
+    center2d: jnp.ndarray     # [N,2] projected center (pixels)
+    radius: jnp.ndarray       # [N] float screen bounding radius (0 = culled)
+    depth: jnp.ndarray        # [N] view-space z of center
+    normal: jnp.ndarray       # [N,3] view-space normal (camera-facing)
+    color: jnp.ndarray        # [N,3] RGB
+    opacity: jnp.ndarray      # [N] in [0,1]
+    valid: jnp.ndarray        # [N] bool
+
+
+def _ndc2pix_cols(width: int, height: int) -> jnp.ndarray:
+    """Columns [0,1,3] of the (transposed) NDC->pixel matrix
+    (gaussian_renderer/__init__.py:69-73). Column 2 (depth remap) is unused
+    because Tw already carries view-space z."""
+    return jnp.array([
+        [width / 2.0, 0.0, 0.0],
+        [0.0, height / 2.0, 0.0],
+        [0.0, 0.0, 0.0],
+        [(width - 1) / 2.0, (height - 1) / 2.0, 1.0],
+    ], jnp.float32)
+
+
+def preprocess(
+    means3d: jnp.ndarray,       # [N,3]
+    scales: jnp.ndarray,        # [N,2] activated (exp'd) 2-axis scales
+    quats: jnp.ndarray,         # [N,4] unnormalized (w,x,y,z)
+    opacities: jnp.ndarray,     # [N] activated (sigmoid'd)
+    shs: jnp.ndarray,           # [N,K,3] SH coeffs (DC first)
+    active: jnp.ndarray,        # [N] bool mask of live splats
+    cam: CameraParams,
+    sh_degree: int,
+    scale_modifier: float = 1.0,
+    override_color: jnp.ndarray | None = None,
+) -> Preprocessed:
+    W, H = cam.width, cam.height
+    R = quat_to_rotmat(quats)                         # [N,3,3]
+    axis_u = R[..., :, 0] * (scales[:, 0:1] * scale_modifier)
+    axis_v = R[..., :, 1] * (scales[:, 1:2] * scale_modifier)
+    normal_world = R[..., :, 2]
+
+    # Splat->pixel transform: rows [axis_u; axis_v; mean] with homog (0,0,1).
+    M = jnp.stack([axis_u, axis_v, means3d], axis=1)  # [N,3,3]
+    hom = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32)[None, :, None],
+                           (M.shape[0], 3, 1))
+    Mh = jnp.concatenate([M, hom], axis=2)            # [N,3,4]
+    world2pix = cam.full_proj @ _ndc2pix_cols(W, H)   # [4,3]
+    T = Mh @ world2pix                                # [N,3,3]
+
+    # View-space center & normal.
+    p_view = means3d @ cam.world_view[:3, :3] + cam.world_view[3, :3]
+    z_view = p_view[:, 2]
+    n_view = normal_world @ cam.world_view[:3, :3]
+    # Flip normals toward the camera (CUDA DUAL_VISIBLE behavior).
+    facing = jnp.sum(p_view * n_view, axis=-1)
+    n_view = n_view * jnp.where(facing < 0, 1.0, -1.0)[:, None]
+
+    # Screen-space center + extent from T (CUDA computeCenter/computeAABB):
+    # the projected conic of the surfel; f = (1,1,-1)/dist.
+    Tu, Tv, Tw = T[..., 0], T[..., 1], T[..., 2]      # [N,3] each (columns)
+    dist = Tw[:, 0] ** 2 + Tw[:, 1] ** 2 - Tw[:, 2] ** 2
+    safe_dist = jnp.where(jnp.abs(dist) < 1e-12, 1.0, dist)
+    cx = (Tu[:, 0] * Tw[:, 0] + Tu[:, 1] * Tw[:, 1] - Tu[:, 2] * Tw[:, 2]) / safe_dist
+    cy = (Tv[:, 0] * Tw[:, 0] + Tv[:, 1] * Tw[:, 1] - Tv[:, 2] * Tw[:, 2]) / safe_dist
+    su = (Tu[:, 0] ** 2 + Tu[:, 1] ** 2 - Tu[:, 2] ** 2) / safe_dist
+    sv = (Tv[:, 0] ** 2 + Tv[:, 1] ** 2 - Tv[:, 2] ** 2) / safe_dist
+    ext_x = jnp.sqrt(jnp.maximum(1e-4, cx * cx - su))
+    ext_y = jnp.sqrt(jnp.maximum(1e-4, cy * cy - sv))
+    radius = jnp.ceil(3.0 * jnp.maximum(ext_x, ext_y))
+
+    # Frustum / screen culling.
+    on_screen = ((cx + radius > 0) & (cx - radius < W) &
+                 (cy + radius > 0) & (cy - radius < H))
+    valid = (active & (z_view > NEAR_PLANE) & (jnp.abs(dist) >= 1e-12) & on_screen)
+    radius = jnp.where(valid, radius, 0.0)
+
+    # Color: SH evaluated toward the camera (in-kernel convert, as the CUDA
+    # path does when shs are passed — gaussian_renderer/__init__.py:92-93).
+    if override_color is None:
+        dirs = means3d - cam.camera_center[None, :]
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
+        color = jnp.maximum(
+            eval_sh(sh_degree, jnp.swapaxes(shs, 1, 2), dirs) + 0.5, 0.0)
+    else:
+        color = override_color
+
+    return Preprocessed(
+        T=T,
+        center2d=jnp.stack([cx, cy], axis=-1),
+        radius=radius,
+        depth=z_view,
+        normal=n_view,
+        color=color,
+        opacity=opacities * valid.astype(opacities.dtype),
+        valid=valid,
+    )
+
+
+def mapped_depth(depth: jnp.ndarray) -> jnp.ndarray:
+    """Depth remap used by the distortion regularizer integral."""
+    return FAR_PLANE / (FAR_PLANE - NEAR_PLANE) * (1.0 - NEAR_PLANE / depth)

@@ -1,0 +1,49 @@
+import numpy as np
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from gaussmart_tpu.ops.ssim import ssim
+from gaussmart_tpu.ops.image import psnr
+
+
+def _torch_ssim(img1, img2, window_size=11, sigma=1.5):
+    """Independent dense-window SSIM (same definition as the reference
+    utils/loss_utils.py:22-62) for cross-checking the separable TPU one."""
+    xs = torch.arange(window_size, dtype=torch.float32)
+    g = torch.exp(-((xs - window_size // 2) ** 2) / (2 * sigma**2))
+    g = g / g.sum()
+    w2d = (g[:, None] @ g[None, :])[None, None]
+    c = img1.shape[-3]
+    window = w2d.expand(c, 1, window_size, window_size)
+
+    pad = window_size // 2
+    mu1 = F.conv2d(img1, window, padding=pad, groups=c)
+    mu2 = F.conv2d(img2, window, padding=pad, groups=c)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1**2, mu2**2, mu1 * mu2
+    s1 = F.conv2d(img1 * img1, window, padding=pad, groups=c) - mu1_sq
+    s2 = F.conv2d(img2 * img2, window, padding=pad, groups=c) - mu2_sq
+    s12 = F.conv2d(img1 * img2, window, padding=pad, groups=c) - mu1_mu2
+    C1, C2 = 0.01**2, 0.03**2
+    m = ((2 * mu1_mu2 + C1) * (2 * s12 + C2)) / ((mu1_sq + mu2_sq + C1) * (s1 + s2 + C2))
+    return m.mean().item()
+
+
+def test_ssim_matches_dense_window(rng):
+    a = rng.random((1, 3, 24, 32)).astype(np.float32)
+    b = np.clip(a + 0.1 * rng.normal(size=a.shape).astype(np.float32), 0, 1)
+    ours = float(ssim(jnp.asarray(a), jnp.asarray(b)))
+    ref = _torch_ssim(torch.from_numpy(a), torch.from_numpy(b))
+    assert abs(ours - ref) < 1e-5
+
+
+def test_ssim_identity():
+    a = jnp.ones((3, 16, 16)) * 0.5
+    assert float(ssim(a, a)) > 0.999
+
+
+def test_psnr_known_value():
+    a = jnp.zeros((1, 3, 8, 8))
+    b = jnp.full((1, 3, 8, 8), 0.1)
+    # mse = 0.01 -> psnr = 20
+    np.testing.assert_allclose(np.asarray(psnr(a, b))[0, 0], 20.0, rtol=1e-5)
