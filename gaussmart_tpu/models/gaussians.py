@@ -155,7 +155,7 @@ def init_from_pcd(
     n = len(points)
     if capacity is None:
         capacity = max(1024, _next_multiple(int(n * 4), 256))
-    capacity = max(capacity, _next_multiple(n, 256))
+    capacity = max(capacity, n)
 
     rng = np.random.default_rng(seed)
     dist2 = np.maximum(mean_sq_dist_to_3nn(points), 1e-7)

@@ -9,6 +9,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from gaussmart_tpu.cameras import CameraParams
+from gaussmart_tpu.transforms import safe_normalize
 
 
 def _c2w_and_intrins(cam: CameraParams):
@@ -41,7 +42,6 @@ def depth_to_normal(cam: CameraParams, depth: jnp.ndarray) -> jnp.ndarray:
     points = depths_to_points(cam, depth).reshape(H, W, 3)
     dx = points[2:, 1:-1] - points[:-2, 1:-1]
     dy = points[1:-1, 2:] - points[1:-1, :-2]
-    n = jnp.cross(dx, dy)
-    n = n / jnp.linalg.norm(n, axis=-1, keepdims=True).clip(1e-12)
+    n = safe_normalize(jnp.cross(dx, dy))
     out = jnp.zeros_like(points)
     return out.at[1:-1, 1:-1].set(n)

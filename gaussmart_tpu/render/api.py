@@ -95,9 +95,12 @@ def render_arrays(
     render_normal = allmap[2:5]
     render_normal = jnp.einsum(
         "chw,cd->dhw", render_normal, cam.world_view[:3, :3].T)
-    render_depth_median = jnp.nan_to_num(allmap[5:6], 0, 0)
-    render_depth_expected = jnp.nan_to_num(
-        allmap[0:1] / jnp.where(render_alpha == 0, jnp.nan, render_alpha), 0, 0)
+    render_depth_median = allmap[5:6]
+    # masked division (the reference divides then nan_to_num's — that leaks
+    # NaN *gradients* at empty pixels; guard the denominator instead)
+    has_alpha = render_alpha > 1e-12
+    render_depth_expected = jnp.where(
+        has_alpha, allmap[0:1] / jnp.where(has_alpha, render_alpha, 1.0), 0.0)
     render_dist = allmap[6:7]
 
     surf_depth = (render_depth_expected * (1 - depth_ratio)

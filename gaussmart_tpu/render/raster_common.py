@@ -114,8 +114,8 @@ def preprocess(
     # Color: SH evaluated toward the camera (in-kernel convert, as the CUDA
     # path does when shs are passed — gaussian_renderer/__init__.py:92-93).
     if override_color is None:
-        dirs = means3d - cam.camera_center[None, :]
-        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-12)
+        from gaussmart_tpu.transforms import safe_normalize
+        dirs = safe_normalize(means3d - cam.camera_center[None, :])
         color = jnp.maximum(
             eval_sh(sh_degree, jnp.swapaxes(shs, 1, 2), dirs) + 0.5, 0.0)
     else:

@@ -9,7 +9,8 @@ import jax.numpy as jnp
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
     """[..., 4] (w,x,y,z) -> [..., 3, 3], normalizing the quaternion."""
-    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(1e-12)
+    ss = jnp.sum(q * q, axis=-1, keepdims=True)
+    q = q / jnp.sqrt(jnp.where(ss > 1e-12, ss, 1.0))
     r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     R = jnp.stack([
         1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y),
@@ -21,6 +22,18 @@ def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
 
 def inverse_sigmoid(x):
     return jnp.log(x / (1 - x))
+
+
+def safe_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """L2-normalize with NaN-free gradients at ||x|| == 0.
+
+    `x / norm.clip(eps)` still produces NaN cotangents at zero vectors
+    (d||x||/dx is 0/0 there); guard the squared sum *before* the sqrt.
+    """
+    ss = jnp.sum(x * x, axis=axis, keepdims=True)
+    good = ss > eps
+    norm = jnp.sqrt(jnp.where(good, ss, 1.0))
+    return jnp.where(good, x / norm, 0.0)
 
 
 def exponential_lr(step, lr_init, lr_final, lr_delay_steps=0,
