@@ -1,0 +1,331 @@
+"""Training CLI — `python -m gaussmart_tpu.train -s <scene> -m <out> ...`.
+
+Flag surface and schedule parity with reference train.py:347-429 /
+train.py:45-242: 30k iterations, densify every 100 in [500, 15000),
+opacity reset every 3000 (+ at densify_from_iter on white bg), SH degree
+bump every 1000, test/save at {7000, 30000}, checkpointing, optional
+segmentation preprocessing subprocess, CSV loss log.
+
+TPU-first deltas: the iteration is one jitted XLA program (see train_lib);
+cameras are pre-staged device-side; densify runs as a second jitted program
+with fixed-capacity scatters (auto-growing capacity on overflow, a rare
+recompile); checkpoints are .npz (no pickle).
+"""
+from __future__ import annotations
+
+import csv
+import json
+import os
+import subprocess
+import sys
+import time
+from argparse import ArgumentParser, Namespace
+from random import Random
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gaussmart_tpu.config import (ModelParams, OptimizationParams,
+                                  PipelineParams, add_group_args,
+                                  extract_group, save_cfg)
+from gaussmart_tpu.models.gaussians import grow_capacity
+from gaussmart_tpu.optim import init_adam
+from gaussmart_tpu.render.api import render
+from gaussmart_tpu.scene import Scene
+from gaussmart_tpu.train_lib import (make_densify_step, make_train_step,
+                                     reset_opacity_jit)
+from gaussmart_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+
+def training(dataset: ModelParams, opt: OptimizationParams,
+             pipe: PipelineParams, testing_iterations: List[int],
+             saving_iterations: List[int], checkpoint_iterations: List[int],
+             start_checkpoint: Optional[str] = None,
+             use_dino_loss: bool = True, lambda_dino: float = 0.05,
+             dino_start_iter: int = 3000, dino_mode: str = "fixed",
+             seed: int = 0, quiet: bool = False,
+             capacity: Optional[int] = None,
+             log_every: int = 10):
+    os.makedirs(dataset.model_path, exist_ok=True)
+    scene = Scene(dataset, capacity=capacity, seed=seed)
+    state = scene.gaussians
+    adam = init_adam(state.params)
+    first_iter = 0
+
+    if start_checkpoint:
+        state, adam, first_iter = load_checkpoint(start_checkpoint)
+        print(f"Resumed from {start_checkpoint} at iteration {first_iter}")
+
+    dino_fn = None
+    if use_dino_loss:
+        dino_fn = _build_dino_fn(lambda_dino, dino_start_iter, dino_mode)
+
+    loss_log_path = os.path.join(dataset.model_path, "dino_loss_log.csv")
+    log_fields = ["iteration", "dino_loss", "total_loss", "l1_loss",
+                  "dist_loss", "normal_loss"]
+    with open(loss_log_path, "w", newline="") as f:
+        csv.DictWriter(f, fieldnames=log_fields).writeheader()
+
+    step_cache = {}
+
+    def get_step(st):
+        key = (st.active_sh_degree, st.capacity)
+        if key not in step_cache:
+            step_cache[key] = make_train_step(
+                opt, sh_degree=st.active_sh_degree,
+                white_background=dataset.white_background,
+                depth_ratio=pipe.depth_ratio, backend=pipe.backend,
+                dino_fn=dino_fn, spatial_lr_scale=st.spatial_lr_scale)
+        return step_cache[key]
+
+    densify_step = make_densify_step(opt, extent=scene.cameras_extent)
+
+    train_cams = scene.get_train_cameras()
+    cam_params = [c.params() for c in train_cams]
+    gt_images = [jnp.asarray(c.image) for c in train_cams]
+
+    rnd = Random(seed)
+    viewpoint_stack: List[int] = []
+    key = jax.random.PRNGKey(seed)
+    params, aux = state.params, state.aux
+    ema = {"loss": 0.0, "dist": 0.0, "normal": 0.0, "dino": 0.0}
+    t_start = time.time()
+    log_rows = []
+
+    for iteration in range(first_iter + 1, opt.iterations + 1):
+        if iteration % 1000 == 0 and state.active_sh_degree < state.max_sh_degree:
+            state = state.oneup_sh_degree()
+
+        if not viewpoint_stack:
+            viewpoint_stack = list(range(len(train_cams)))
+        idx = viewpoint_stack.pop(rnd.randint(0, len(viewpoint_stack) - 1))
+
+        step = get_step(state)
+        params, adam, aux, metrics = step(
+            params, adam, aux, cam_params[idx], gt_images[idx],
+            jnp.asarray(iteration, jnp.int32))
+
+        # ---- host-side schedule (cheap; all heavy work stays on device) ---
+        if iteration % log_every == 0 or iteration == opt.iterations:
+            m = jax.device_get(metrics)
+            ema["loss"] = 0.4 * float(m.total) + 0.6 * ema["loss"]
+            ema["dist"] = 0.4 * float(m.dist) + 0.6 * ema["dist"]
+            ema["normal"] = 0.4 * float(m.normal) + 0.6 * ema["normal"]
+            ema["dino"] = 0.4 * float(m.dino) + 0.6 * ema["dino"]
+            if not quiet:
+                ips = iteration / max(time.time() - t_start, 1e-9)
+                print(f"[{iteration}/{opt.iterations}] loss {ema['loss']:.5f} "
+                      f"dist {ema['dist']:.5f} normal {ema['normal']:.5f} "
+                      f"dino {ema['dino']:.5f} pts {int(m.n_active)} "
+                      f"({ips:.1f} it/s)", flush=True)
+            log_rows.append({
+                "iteration": iteration, "dino_loss": float(m.dino),
+                "total_loss": float(m.total), "l1_loss": float(m.l1),
+                "dist_loss": float(m.dist), "normal_loss": float(m.normal)})
+            if len(log_rows) >= 50:
+                _flush_log(loss_log_path, log_fields, log_rows)
+
+        if iteration in testing_iterations:
+            state = state.replace(params=params, aux=aux)
+            report_eval(scene, state, pipe, dataset, iteration)
+            params, aux = state.params, state.aux
+
+        if iteration in saving_iterations:
+            print(f"\n[ITER {iteration}] Saving Gaussians")
+            scene.save(iteration, state.replace(params=params, aux=aux))
+
+        # densification (train.py:198-211 schedule)
+        if iteration < opt.densify_until_iter:
+            if (iteration > opt.densify_from_iter
+                    and iteration % opt.densification_interval == 0):
+                state = state.replace(params=params, aux=aux)
+                key, sub = jax.random.split(key)
+                use_size = iteration > opt.opacity_reset_interval
+                state, adam, dropped = densify_step(state, adam, sub, use_size)
+                if int(jax.device_get(dropped)) > 0:
+                    state, adam = _grow(state, adam)
+                    step_cache.clear()
+                params, aux = state.params, state.aux
+            if (iteration % opt.opacity_reset_interval == 0
+                    or (dataset.white_background
+                        and iteration == opt.densify_from_iter)):
+                state = state.replace(params=params, aux=aux)
+                state, adam = reset_opacity_jit(state, adam)
+                params, aux = state.params, state.aux
+
+        if iteration in checkpoint_iterations:
+            print(f"\n[ITER {iteration}] Saving Checkpoint")
+            state = state.replace(params=params, aux=aux)
+            save_checkpoint(os.path.join(dataset.model_path,
+                                         f"chkpnt{iteration}.npz"),
+                            state, adam, iteration)
+
+    _flush_log(loss_log_path, log_fields, log_rows)
+    return state.replace(params=params, aux=aux), adam
+
+
+def _flush_log(path, fields, rows):
+    if rows:
+        with open(path, "a", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=fields)
+            for r in rows:
+                w.writerow(r)
+        rows.clear()
+
+
+def _grow(state, adam):
+    """Double capacity when densify overflowed (recompile boundary)."""
+    import dataclasses as dc
+    new_cap = state.capacity * 2
+    print(f"[capacity] growing {state.capacity} -> {new_cap}")
+    grown = grow_capacity(state, new_cap)
+    pad = new_cap - adam.mu.xyz.shape[0]
+
+    def pad_leaf(a):
+        return jnp.concatenate(
+            [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+
+    adam = adam.__class__(mu=jax.tree.map(pad_leaf, adam.mu),
+                          nu=jax.tree.map(pad_leaf, adam.nu), step=adam.step)
+    return grown, adam
+
+
+def _build_dino_fn(lambda_dino: float, start_iter: int, mode: str):
+    """Differentiable DINO embedding loss, gated after start_iter.
+
+    Falls back to None (term = 0) when no encoder weights are available
+    locally — the environment has no network egress."""
+    try:
+        from gaussmart_tpu.semantics.dino import DinoEncoder
+        enc = DinoEncoder.create()
+    except Exception as e:  # no weights / transformers model unavailable
+        print(f"[dino] encoder unavailable ({e}); DINO loss disabled")
+        return None
+    from gaussmart_tpu.losses import dino_term
+
+    def fn(image, gt, iteration):
+        term = dino_term(image, gt, enc, lambda_dino, mode=mode)
+        return jnp.where(iteration > start_iter, term, 0.0)
+
+    return fn
+
+
+def report_eval(scene: Scene, state, pipe, dataset, iteration):
+    """In-loop test/train eval (train.py:268-344)."""
+    from gaussmart_tpu.ops.image import psnr as psnr_fn, l1_loss
+    from gaussmart_tpu.ops.ssim import ssim as ssim_fn
+
+    bg = jnp.asarray([1.0, 1.0, 1.0] if dataset.white_background
+                     else [0.0, 0.0, 0.0])
+    configs = [("test", scene.get_test_cameras())]
+    train_cams = scene.get_train_cameras()
+    if train_cams:
+        configs.append(("train", [train_cams[i % len(train_cams)]
+                                  for i in range(5, 30, 5)]))
+    results = {}
+    for name, cams in configs:
+        if not cams:
+            continue
+        tot = {"l1": 0.0, "psnr": 0.0, "ssim": 0.0}
+        for cam in cams:
+            pkg = render(cam.params(), state, bg,
+                         depth_ratio=pipe.depth_ratio, backend=pipe.backend)
+            img = jnp.clip(pkg["render"], 0, 1)
+            gt = jnp.clip(jnp.asarray(cam.image), 0, 1)
+            tot["l1"] += float(l1_loss(img, gt))
+            tot["psnr"] += float(psnr_fn(img[None], gt[None])[0, 0])
+            tot["ssim"] += float(ssim_fn(img, gt))
+        n = len(cams)
+        results[name] = {k: v / n for k, v in tot.items()}
+        print(f"\n[ITER {iteration}] Evaluating {name}: "
+              f"L1 {results[name]['l1']:.5f} PSNR {results[name]['psnr']:.3f} "
+              f"SSIM {results[name]['ssim']:.4f}")
+    out = os.path.join(dataset.model_path, f"eval_{iteration}.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    return results
+
+
+def build_parser() -> ArgumentParser:
+    parser = ArgumentParser(description="gaussmart_tpu training")
+    add_group_args(parser, ModelParams)
+    add_group_args(parser, OptimizationParams)
+    add_group_args(parser, PipelineParams)
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--detect_anomaly", action="store_true")
+    parser.add_argument("--test_iterations", nargs="+", type=int,
+                        default=[7000, 30000])
+    parser.add_argument("--save_iterations", nargs="+", type=int,
+                        default=[7000, 30000])
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--run_segmentation", action="store_true")
+    parser.add_argument("--segmentation_output", type=str,
+                        default="segmentation_results")
+    parser.add_argument("--dataset_type", type=str,
+                        choices=["dtu", "nerf", "tyt"], default="tyt")
+    parser.add_argument("--skip_camera_clustering", action="store_true")
+    parser.add_argument("--sam2", action="store_true")
+    parser.add_argument("--clean", action="store_true")
+    parser.add_argument("--dino_start_iter", type=int, default=3000)
+    parser.add_argument("--lambda_dino", type=float, default=0.05)
+    parser.add_argument("--dino_mode", type=str, default="fixed",
+                        choices=["fixed", "parity", "off"])
+    parser.add_argument("--capacity", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    return parser
+
+
+def main(argv=None):
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    args.save_iterations.append(args.iterations)
+
+    print("Optimizing " + args.model_path)
+
+    if args.run_segmentation:
+        print("\nRunning segmentation process...")
+        seg_output = os.path.join("identification", "results")
+        os.makedirs(seg_output, exist_ok=True)
+        cmd = [sys.executable, "-m", "gaussmart_tpu.semantics.pipeline",
+               "-s", args.source_path, "-o", seg_output,
+               "-t", args.dataset_type]
+        if args.skip_camera_clustering:
+            cmd.append("--skip_camera_clustering")
+        if args.sam2:
+            cmd.append("--sam2")
+        if args.clean:
+            cmd.append("--clean")
+        try:
+            subprocess.run(cmd, check=True)
+            print("Segmentation completed successfully!")
+        except subprocess.CalledProcessError as e:
+            print(f"Segmentation failed with error: {e}")
+            sys.exit(1)
+
+    if args.detect_anomaly:
+        jax.config.update("jax_debug_nans", True)
+
+    dataset = extract_group(args, ModelParams)
+    opt = extract_group(args, OptimizationParams)
+    pipe = extract_group(args, PipelineParams)
+    os.makedirs(dataset.model_path, exist_ok=True)
+    save_cfg(dataset.model_path, args)
+
+    training(dataset, opt, pipe, args.test_iterations, args.save_iterations,
+             args.checkpoint_iterations, args.start_checkpoint,
+             use_dino_loss=(args.dino_mode != "off"),
+             lambda_dino=args.lambda_dino,
+             dino_start_iter=args.dino_start_iter, dino_mode=args.dino_mode,
+             seed=args.seed, quiet=args.quiet, capacity=args.capacity)
+    print("\nTraining complete.")
+
+
+if __name__ == "__main__":
+    main()
