@@ -1,0 +1,86 @@
+"""Benchmark: training iterations/second on a synthetic DTU-scale scene.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Scene shape mirrors the DTU scan24 half-res recipe (BASELINE.md): ~100k
+splats at 777x582 would be the full target; the benchmark scales within the
+available chip. `vs_baseline` is measured against the north-star rate of
+30k iterations in 30 minutes (16.67 it/s, BASELINE.md "Rebuild targets").
+
+Env overrides: BENCH_SPLATS, BENCH_W, BENCH_H, BENCH_ITERS, BENCH_BACKEND.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+NORTH_STAR_ITERS_PER_SEC = 30_000 / (30 * 60)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gaussmart_tpu.cameras import Camera
+    from gaussmart_tpu.config import OptimizationParams
+    from gaussmart_tpu.models.gaussians import init_from_pcd
+    from gaussmart_tpu.optim import init_adam
+    from gaussmart_tpu.train_lib import make_train_step
+
+    n = int(os.environ.get("BENCH_SPLATS", 100_000))
+    width = int(os.environ.get("BENCH_W", 776))
+    height = int(os.environ.get("BENCH_H", 584))
+    iters = int(os.environ.get("BENCH_ITERS", 30))
+    backend = os.environ.get("BENCH_BACKEND", "auto")
+
+    rng = np.random.default_rng(0)
+    pts = np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
+                    rng.uniform(2.0, 5.0, n)], axis=1).astype(np.float32)
+    state = init_from_pcd(pts, rng.random((n, 3)).astype(np.float32), None,
+                          max_sh_degree=3, spatial_lr_scale=1.0,
+                          capacity=((n + 255) // 256) * 256)
+    cams = []
+    for i in range(4):
+        ang = 0.1 * i
+        c, s = np.cos(ang), np.sin(ang)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        cams.append(Camera(uid=i, colmap_id=i, image_name=f"c{i}", R=R,
+                           T=np.array([0.1 * i, 0.0, 0.0]), fovx=1.2,
+                           fovy=0.9, width=width, height=height))
+    cam_params = [c.params() for c in cams]
+    gts = [jnp.asarray(rng.random((3, height, width)), jnp.float32)
+           for _ in cams]
+
+    opt = OptimizationParams()
+    step = make_train_step(opt, sh_degree=3, white_background=False,
+                           backend=backend, spatial_lr_scale=1.0,
+                           donate=False)
+
+    params, adam, aux = state.params, init_adam(state.params), state.aux
+    # warmup / compile
+    params, adam, aux, m = step(params, adam, aux, cam_params[0], gts[0],
+                                jnp.asarray(1, jnp.int32))
+    jax.block_until_ready(params.xyz)
+
+    t0 = time.perf_counter()
+    for it in range(2, iters + 2):
+        params, adam, aux, m = step(params, adam, aux,
+                                    cam_params[it % 4], gts[it % 4],
+                                    jnp.asarray(it, jnp.int32))
+    jax.block_until_ready(params.xyz)
+    dt = time.perf_counter() - t0
+    ips = iters / dt
+
+    print(json.dumps({
+        "metric": f"train_iters_per_sec_{n//1000}k_splats_{width}x{height}",
+        "value": round(ips, 3),
+        "unit": "iters/s",
+        "vs_baseline": round(ips / NORTH_STAR_ITERS_PER_SEC, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

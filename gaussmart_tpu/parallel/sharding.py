@@ -1,0 +1,173 @@
+"""Multi-chip scale-out over a JAX device mesh.
+
+The reference is strictly single-GPU/single-process (SURVEY.md §2.3); its
+only "multi-GPU" use is embarrassingly-parallel job dispatch. This module is
+the designed-from-scratch TPU equivalent:
+
+ * **Camera data-parallel training** (`make_dp_train_step`): a batch of B
+   cameras is sharded over the `data` mesh axis; Gaussian state is
+   replicated; each device renders + differentiates its own views; gradients
+   and densification statistics are `psum`'d over ICI before a replicated
+   Adam step. Mathematically this is grad-accumulation over B views per
+   iteration (batch size 1 recovers the reference schedule exactly).
+ * **Pixel/row-sharded rendering** (`render_row_sharded`): for single large
+   frames, shard image rows across devices — every device composites the
+   full (replicated) splat set for its rows; exact, no cross-device
+   compositing needed because 2DGS compositing is per-pixel.
+
+Gaussian-sharded rasterization (splats sharded, per-tile fragment exchange)
+is the planned third axis for >10M-splat scenes; see parallel/DESIGN.md.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gaussmart_tpu.cameras import CameraParams
+from gaussmart_tpu.config import OptimizationParams
+from gaussmart_tpu.models.densify import add_densification_stats
+from gaussmart_tpu.optim import adam_step, group_lrs
+from gaussmart_tpu.train_lib import StepMetrics, _loss_and_aux
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    import numpy as np
+    return Mesh(np.array(devs), (axis,))
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+
+
+def shard_batch(tree, mesh: Mesh, axis: str = "data"):
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BatchedCameras:
+    """A stack of B same-resolution cameras (leading device axis)."""
+    world_view: jnp.ndarray      # [B,4,4]
+    full_proj: jnp.ndarray       # [B,4,4]
+    camera_center: jnp.ndarray   # [B,3]
+    tanfovx: jnp.ndarray         # [B]
+    tanfovy: jnp.ndarray         # [B]
+    width: int = dataclasses.field(metadata=dict(static=True))
+    height: int = dataclasses.field(metadata=dict(static=True))
+
+    @staticmethod
+    def stack(cams):
+        import numpy as np
+        return BatchedCameras(
+            world_view=jnp.asarray(np.stack([c.world_view for c in cams])),
+            full_proj=jnp.asarray(np.stack([c.full_proj for c in cams])),
+            camera_center=jnp.asarray(np.stack([c.camera_center for c in cams])),
+            tanfovx=jnp.asarray(np.stack([np.asarray(c.tanfovx) for c in cams])),
+            tanfovy=jnp.asarray(np.stack([np.asarray(c.tanfovy) for c in cams])),
+            width=cams[0].width, height=cams[0].height)
+
+    def index(self, i) -> CameraParams:
+        return CameraParams(
+            world_view=self.world_view[i], full_proj=self.full_proj[i],
+            camera_center=self.camera_center[i], tanfovx=self.tanfovx[i],
+            tanfovy=self.tanfovy[i], width=self.width, height=self.height)
+
+
+def make_dp_train_step(opt: OptimizationParams, mesh: Mesh, *,
+                       sh_degree: int, white_background: bool,
+                       depth_ratio: float = 0.0, backend: str = "dense",
+                       spatial_lr_scale: float = 1.0, axis: str = "data"):
+    """Camera-DP training step over `mesh`. Batch size B must equal the mesh
+    size (one camera per device per step); stats/grads ride ICI psum."""
+    bg = jnp.asarray([1.0, 1.0, 1.0] if white_background else [0.0, 0.0, 0.0],
+                     jnp.float32)
+    n_dev = mesh.devices.size
+
+    def per_device(params, adam, aux_state, cams: BatchedCameras,
+                   gt_images, iteration):
+        # inside shard_map: leading camera axis is the local shard (size 1)
+        cam = cams.index(0)
+        gt = gt_images[0]
+        means2d = jnp.zeros((params.xyz.shape[0], 2), jnp.float32)
+        grad_fn = jax.value_and_grad(_loss_and_aux, argnums=(0, 1), has_aux=True)
+        (total, extras), (gparams, gmeans2d) = grad_fn(
+            params, means2d, aux_state, cam, gt, iteration, opt, bg,
+            sh_degree, depth_ratio, backend, None)
+
+        # gradient all-reduce over ICI (mean, matching grad accumulation)
+        gparams = jax.tree.map(lambda g: jax.lax.psum(g, axis) / n_dev, gparams)
+
+        # densification stats accumulate over *all* cameras in the batch
+        stats0 = jax.tree.map(jnp.zeros_like, aux_state)
+        stats = add_densification_stats(stats0, gmeans2d, extras["radii"])
+        in_window = iteration < opt.densify_until_iter
+        aux_state = dataclasses.replace(
+            aux_state,
+            grad_accum=aux_state.grad_accum + jnp.where(
+                in_window, jax.lax.psum(stats.grad_accum, axis), 0.0),
+            denom=aux_state.denom + jnp.where(
+                in_window, jax.lax.psum(stats.denom, axis), 0.0),
+            max_radii2d=jnp.where(
+                in_window,
+                jnp.maximum(aux_state.max_radii2d,
+                            jax.lax.pmax(stats.max_radii2d, axis)),
+                aux_state.max_radii2d))
+
+        lrs = group_lrs(opt, iteration, spatial_lr_scale)
+        params, adam = adam_step(params, gparams, adam, lrs, aux_state.active)
+
+        metrics = StepMetrics(
+            total=jax.lax.pmean(total, axis),
+            l1=jax.lax.pmean(extras["l1"], axis),
+            dist=jax.lax.pmean(extras["dist"], axis),
+            normal=jax.lax.pmean(extras["normal"], axis),
+            dino=jax.lax.pmean(extras["dino"], axis),
+            psnr=jax.lax.pmean(extras["psnr"], axis),
+            n_active=aux_state.active.sum())
+        return params, adam, aux_state, metrics
+
+    rep = P()
+    sharded = P(axis)
+    fn = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(rep, rep, rep, sharded, sharded, rep),
+        out_specs=(rep, rep, rep, rep),
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def render_row_sharded(mesh: Mesh, prep, means2d, bg, width: int, height: int,
+                       chunk: int = 64, axis: str = "data"):
+    """Shard image rows over devices; splats replicated. Exact: compositing
+    is independent per pixel."""
+    from gaussmart_tpu.render.raster_dense import rasterize_pixels
+
+    n_dev = mesh.devices.size
+    assert height % n_dev == 0, "pad image height to a multiple of mesh size"
+
+    def per_device(prep_l, means2d_l, bg_l):
+        # Each device rasterizes its row block by shifting pixel-y origin:
+        # implemented by rendering the full-width block with offset rows.
+        row0 = jax.lax.axis_index(axis) * (height // n_dev)
+        out = rasterize_pixels(prep_l, means2d_l, bg_l, width, height,
+                               chunk=chunk, row_offset=row0,
+                               rows=height // n_dev)
+        return out["image"], out["allmap"]
+
+    fn = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(None, axis, None), P(None, axis, None)),
+        check_vma=False)
+    image, allmap = fn(prep, means2d, bg)
+    return {"image": image, "allmap": allmap}

@@ -161,10 +161,14 @@ def rasterize_pixels(
     width: int,
     height: int,
     chunk: int = 64,
+    rows: int | None = None,      # render only `rows` rows (pixel sharding)
+    row_offset=0,                 # first row index (may be traced)
 ) -> Dict[str, jnp.ndarray]:
     """Composite preprocessed splats into an image + 7-channel aux map."""
     N = prep.depth.shape[0]
-    P = width * height
+    if rows is None:
+        rows = height
+    P = width * rows
     half_wh = jnp.array([0.5 * width, 0.5 * height], jnp.float32)
 
     # Global front-to-back order (replaces the CUDA (tile|depth) radix sort).
@@ -192,7 +196,8 @@ def rasterize_pixels(
     chunks = {k: v.reshape((n_outer, n_inner, chunk) + v.shape[1:])
               for k, v in chunks.items()}
 
-    ys, xs = jnp.meshgrid(jnp.arange(height, dtype=jnp.float32),
+    ys, xs = jnp.meshgrid(jnp.arange(rows, dtype=jnp.float32)
+                          + jnp.asarray(row_offset, jnp.float32),
                           jnp.arange(width, dtype=jnp.float32), indexing="ij")
     px = xs.reshape(P)
     py = ys.reshape(P)
@@ -227,6 +232,6 @@ def rasterize_pixels(
         final["dist"],
     ], axis=0)
     return {
-        "image": image.reshape(3, height, width),
-        "allmap": allmap.reshape(7, height, width),
+        "image": image.reshape(3, rows, width),
+        "allmap": allmap.reshape(7, rows, width),
     }
