@@ -1,12 +1,554 @@
-"""Tile-binned Pallas TPU rasterizer (production path).
+"""Tile-binned Pallas TPU rasterizer — the production 2DGS compositor.
 
-Placeholder for round-1 early milestones: `rasterize_tiled` is filled in by
-the Pallas kernel; until then callers fall back to the dense XLA compositor.
+Semantics-equivalent to the dense XLA compositor (raster_dense.py, itself
+the behavioral mirror of reference kernel N1 — SURVEY.md §2.2) but with the
+CUDA-style tile pipeline re-designed for TPU:
+
+  XLA stage (vectorized, fused):
+    1. expand each splat into (tile, depth, splat) duplicates over its
+       screen-space bounding rect (fixed per-splat budget, overflow counted);
+    2. one `lax.sort` by (tile, depth) — replaces the CUDA radix sort;
+    3. pack per-tile ranges to K-aligned starts so kernel DMA windows never
+       cross tiles; gather splat attributes into a [F, M] "blob".
+
+  Pallas stage (grid = one program per 32x32 tile):
+    * tile pixels live as a single (8, 128) f32 vreg set in VMEM;
+    * the splat list streams HBM->VMEM in K-entry chunks with double
+      buffering; per entry ~60 VPU ops composite all 1024 pixels at once
+      (the transposed parallelization of the CUDA warp-per-pixel scheme);
+    * early exit via `lax.while_loop` once every pixel saturates
+      (T < 1e-4 latch, identical to the CUDA `done` flag);
+    * forward emits 13 channels: rgb, expected-depth, alpha, normal(3),
+      median depth, distortion, final T, M1, M2 — plus per-pixel int32
+      (n_contrib, median entry index) residuals for the backward pass.
+
+  Backward (custom VJP, same grid): re-traverses each tile's list
+  back-to-front, reconstructing T_before = T/(1-alpha) like the CUDA
+  backward, maintaining the suffix accumulator S = sum_{j>i} w_j dL/dw_j.
+  Geometry cotangents (through the ray-splat intersection) come from a
+  nested `jax.vjp` of the shared `_geom` closure inside the kernel, so the
+  hand-written part is only the sequential compositing chain. Per-entry
+  gradient rows are written race-free to the padded [F, M] layout and
+  scatter-added back to splats in XLA.
+
+Distortion gradients use the pairwise identity
+    dist = sum_{k<j} w_j w_k (m_j - m_k)^2
+so only the *totals* (A_n, M1_n, M2_n) are needed as residuals:
+    d dist / d w_i = m_i^2 A_n + M2_n - 2 m_i M1_n
+    d dist / d m_i = 2 w_i (m_i A_n - M1_n).
 """
 from __future__ import annotations
 
-rasterize_tiled = None
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gaussmart_tpu.render.raster_common import (ALPHA_EPS, ALPHA_MAX,
+                                                FILTER_INV_SQUARE, NEAR_PLANE,
+                                                T_EPS, Preprocessed,
+                                                mapped_depth)
+
+TILE = 32           # 32x32 pixels = one (8,128) vreg layout
+K = 128             # splat entries per DMA chunk
+F = 20              # blob feature rows (see _build_blob)
+F_PAD = 24          # sublane-aligned
+CH = 13             # forward framebuffer channels
+
+
+# ---------------------------------------------------------------------------
+# shared per-entry geometry (scalars -> (8,128) pixel fields)
+# ---------------------------------------------------------------------------
+
+def _geom(scal, px, py):
+    """scal: [13] = (T9[9], cx, cy, sx, sy). Returns (rho, depth, gates)."""
+    b = [scal[i] for i in range(9)]
+    cx, cy, sx, sy = scal[9], scal[10], scal[11], scal[12]
+    pxe = px - sx
+    pye = py - sy
+    kx = pxe * b[2] - b[0]
+    ky = pxe * b[5] - b[3]
+    kz = pxe * b[8] - b[6]
+    lx = pye * b[2] - b[1]
+    ly = pye * b[5] - b[4]
+    lz = pye * b[8] - b[7]
+    p_x = ky * lz - kz * ly
+    p_y = kz * lx - kx * lz
+    p_z = kx * ly - ky * lx
+    degenerate = jnp.abs(p_z) < 1e-12
+    inv_pz = jnp.where(degenerate, 0.0, 1.0 / jnp.where(degenerate, 1.0, p_z))
+    su = p_x * inv_pz
+    sv = p_y * inv_pz
+    rho3d = jnp.where(degenerate, jnp.float32(jnp.inf), su * su + sv * sv)
+    depth3d = su * b[2] + sv * b[5] + b[8]
+    dx = cx - pxe
+    dy = cy - pye
+    rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
+    use3d = rho3d <= rho2d
+    rho = jnp.minimum(rho3d, rho2d)
+    depth = jnp.where(use3d, depth3d, b[8])
+    return rho, depth
+
+
+def _alpha_from(scal_geom, opacity, px, py):
+    rho, depth = _geom(scal_geom, px, py)
+    alpha = jnp.minimum(ALPHA_MAX, opacity * jnp.exp(-0.5 * rho))
+    ok = (alpha >= ALPHA_EPS) & (depth >= NEAR_PLANE)
+    return jnp.where(ok, alpha, 0.0), depth
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _tile_pixels(t, tiles_x):
+    """Pixel coords of tile t as (8,128) f32 grids."""
+    tx = (t % tiles_x).astype(jnp.float32)
+    ty = (t // tiles_x).astype(jnp.float32)
+    a = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    bcol = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    p = a * 128 + bcol
+    px = (p % TILE).astype(jnp.float32) + tx * TILE
+    py = (p // TILE).astype(jnp.float32) + ty * TILE
+    return px, py
+
+
+def _make_fwd_kernel(tiles_x: int):
+    def kernel(starts_ref, counts_ref, blob_ref, fb_ref, ints_ref,
+               chunk, sems):
+        t = pl.program_id(0)
+        start = starts_ref[t]
+        count = counts_ref[t]
+        px, py = _tile_pixels(t, tiles_x)
+        n_chunks = pl.cdiv(count, K)
+
+        zero = jnp.zeros((8, 128), jnp.float32)
+        izero = jnp.zeros((8, 128), jnp.int32)
+        state0 = dict(
+            T=jnp.ones((8, 128), jnp.float32), done=izero,
+            C0=zero, C1=zero, C2=zero, D=zero, A=zero,
+            N0=zero, N1=zero, N2=zero, med=zero, dist=zero,
+            M1=zero, M2=zero, n_contrib=izero, med_e=izero - 1)
+
+        def get_dma(slot, c):
+            return pltpu.make_async_copy(
+                blob_ref.at[:, pl.ds(start + c * K, K)],
+                chunk.at[slot], sems.at[slot])
+
+        @pl.when(n_chunks > 0)
+        def _():
+            get_dma(0, 0).start()
+
+        def body(carry):
+            c, st = carry
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+
+            get_dma(slot, c).wait()
+
+            def entry(e, st):
+                e_rel = c * K + e
+                col = chunk[slot, :, e]               # [F_PAD]
+                geomscal = col[0:13]
+                opacity = col[13]
+                alpha, depth = _alpha_from(geomscal, opacity, px, py)
+                # padding entries have opacity 0 -> alpha 0 everywhere
+                in_range = (e_rel < count).astype(jnp.float32)
+                alpha = alpha * in_range
+
+                T = st["T"]
+                alive = st["done"] == 0
+                has_a = alpha > 0
+                test_T = T * (1.0 - alpha)
+                trigger = alive & has_a & (test_T < T_EPS)
+                contrib = alive & has_a & (test_T >= T_EPS)
+                w = jnp.where(contrib, alpha * T, 0.0)
+
+                m = jnp.where(contrib, mapped_depth(jnp.where(contrib, depth, 1.0)), 0.0)
+                A_before = 1.0 - T
+                dsel = jnp.where(contrib, depth, 0.0)
+
+                new = dict(st)
+                new["dist"] = st["dist"] + (m * m * A_before + st["M2"]
+                                            - 2.0 * m * st["M1"]) * w
+                new["M1"] = st["M1"] + m * w
+                new["M2"] = st["M2"] + m * m * w
+                med_hit = contrib & (T > 0.5)
+                new["med"] = jnp.where(med_hit, dsel, st["med"])
+                new["med_e"] = jnp.where(med_hit, e_rel, st["med_e"])
+                new["C0"] = st["C0"] + w * col[14]
+                new["C1"] = st["C1"] + w * col[15]
+                new["C2"] = st["C2"] + w * col[16]
+                new["N0"] = st["N0"] + w * col[17]
+                new["N1"] = st["N1"] + w * col[18]
+                new["N2"] = st["N2"] + w * col[19]
+                new["D"] = st["D"] + w * dsel
+                new["A"] = st["A"] + w
+                new["T"] = jnp.where(contrib, test_T, T)
+                new["done"] = jnp.maximum(st["done"], trigger.astype(jnp.int32))
+                new["n_contrib"] = jnp.where(contrib, e_rel + 1, st["n_contrib"])
+                return new
+
+            st = jax.lax.fori_loop(0, K, entry, st)
+            return c + 1, st
+
+        def cond(carry):
+            c, st = carry
+            return (c < n_chunks) & (jnp.sum(st["done"]) < 8 * 128)
+
+        _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), state0))
+
+        names = ["C0", "C1", "C2", "D", "A", "N0", "N1", "N2", "med",
+                 "dist", "T", "M1", "M2"]
+        for i, nm in enumerate(names):
+            fb_ref[0, i] = st[nm]
+        ints_ref[0, 0] = st["n_contrib"]
+        ints_ref[0, 1] = st["med_e"]
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+def _make_bwd_kernel(tiles_x: int):
+    def kernel(starts_ref, counts_ref, blob_ref, fb_ref, ints_ref, ct_ref,
+               grad_ref, chunk, gchunk, sems, gsem):
+        t = pl.program_id(0)
+        start = starts_ref[t]
+        count = counts_ref[t]
+        px, py = _tile_pixels(t, tiles_x)
+        n_chunks = pl.cdiv(count, K)
+
+        # residual totals + cotangents (per pixel)
+        A_n = fb_ref[0, 4]
+        M1_n = fb_ref[0, 11]
+        M2_n = fb_ref[0, 12]
+        T_final = fb_ref[0, 10]
+        n_contrib = ints_ref[0, 0]
+        med_e = ints_ref[0, 1]
+        dC = (ct_ref[0, 0], ct_ref[0, 1], ct_ref[0, 2])
+        dD = ct_ref[0, 3]
+        dA = ct_ref[0, 4]
+        dN = (ct_ref[0, 5], ct_ref[0, 6], ct_ref[0, 7])
+        dMed = ct_ref[0, 8]
+        dDist = ct_ref[0, 9]
+        dT_n = ct_ref[0, 10]   # from the XLA-side bg blend + M1/M2 (zero)
+
+        def get_dma(slot, c):
+            return pltpu.make_async_copy(
+                blob_ref.at[:, pl.ds(start + c * K, K)],
+                chunk.at[slot], sems.at[slot])
+
+        @pl.when(n_chunks > 0)
+        def _():
+            get_dma(jax.lax.rem(n_chunks - 1, 2), n_chunks - 1).start()
+
+        def body(carry):
+            c, T_cur, S = carry          # c runs n_chunks-1 .. 0
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c > 0)
+            def _():
+                get_dma(jax.lax.rem(c - 1, 2), c - 1).start()
+
+            get_dma(slot, c).wait()
+
+            def entry(j, carry2):
+                e = K - 1 - j            # reverse within chunk
+                T_cur, S = carry2
+                e_rel = c * K + e
+                col = chunk[slot, :, e]
+                geomscal = col[0:13]
+                opacity = col[13]
+                color = (col[14], col[15], col[16])
+                normal = (col[17], col[18], col[19])
+
+                def fwd_geo(scal, o):
+                    return _alpha_from(scal, o, px, py)
+
+                (alpha, depth), geo_vjp = jax.vjp(fwd_geo, geomscal, opacity)
+
+                contrib = (e_rel < n_contrib) & (alpha > 0)
+                alpha_c = jnp.where(contrib, alpha, 0.0)
+                T_before = jnp.where(contrib, T_cur / (1.0 - alpha_c), T_cur)
+                w = jnp.where(contrib, alpha_c * T_before, 0.0)
+
+                m = jnp.where(contrib, mapped_depth(jnp.where(contrib, depth, 1.0)), 0.0)
+                # dL/dw_i over all channels (+ pairwise distortion identity)
+                dLdw = (color[0] * dC[0] + color[1] * dC[1] + color[2] * dC[2]
+                        + depth * dD + dA
+                        + normal[0] * dN[0] + normal[1] * dN[1]
+                        + normal[2] * dN[2]
+                        + (m * m * A_n + M2_n - 2.0 * m * M1_n) * dDist)
+
+                one_m_a = jnp.where(contrib, 1.0 - alpha_c, 1.0)
+                dLdalpha = jnp.where(
+                    contrib,
+                    T_before * dLdw - (S + T_final * dT_n) / one_m_a,
+                    0.0)
+
+                # depth cotangent: expected-depth channel + distortion chain
+                # + median routing
+                dm_dd = (mapped_depth(jnp.where(contrib, depth, 1.0) + 0.0) * 0.0
+                         + FARNEAR / jnp.square(jnp.where(contrib, depth, 1.0)))
+                dLdd = (w * dD
+                        + dDist * 2.0 * w * (m * A_n - M1_n) * dm_dd
+                        + jnp.where(med_e == e_rel, dMed, 0.0))
+                dLdd = jnp.where(contrib | (med_e == e_rel), dLdd, 0.0)
+
+                gscal, gop = geo_vjp((dLdalpha, dLdd))
+
+                # per-entry reductions
+                gcol = [jnp.sum(gscal[i]) for i in range(13)]
+                gcol.append(jnp.sum(gop))
+                for ci in range(3):
+                    gcol.append(jnp.sum(w * dC[ci]))
+                for ci in range(3):
+                    gcol.append(jnp.sum(w * dN[ci]))
+                grow = jnp.stack(gcol + [jnp.float32(0.0)] * (F_PAD - F))
+                gchunk[:, e] = grow
+
+                S = S + jnp.where(contrib, w * dLdw, 0.0)
+                return T_before, S
+
+            T_cur, S = jax.lax.fori_loop(0, K, entry, (T_cur, S))
+
+            # flush gradient chunk to HBM
+            out_dma = pltpu.make_async_copy(
+                gchunk, grad_ref.at[:, pl.ds(start + c * K, K)], gsem)
+            out_dma.start()
+            out_dma.wait()
+            return c - 1, T_cur, S
+
+        def cond(carry):
+            c, _, _ = carry
+            return c >= 0
+
+        jax.lax.while_loop(
+            cond, lambda carry: body((carry[0], carry[1], carry[2])),
+            (n_chunks - 1, T_final, jnp.zeros((8, 128), jnp.float32)))
+
+    return kernel
+
+
+FARNEAR = (100.0 * 0.2) / (100.0 - 0.2)  # d(mapped)/d(depth) numerator
+
+
+# ---------------------------------------------------------------------------
+# XLA-side binning + packing
+# ---------------------------------------------------------------------------
+
+def _build_blob(prep: Preprocessed, means2d, half_wh):
+    """[F, N+1] feature blob (last column = zero dummy for padding)."""
+    shift = means2d * half_wh[None, :]
+    rows = [prep.T.reshape(-1, 9)[:, i] for i in range(9)]
+    rows += [prep.center2d[:, 0], prep.center2d[:, 1],
+             shift[:, 0], shift[:, 1], prep.opacity,
+             prep.color[:, 0], prep.color[:, 1], prep.color[:, 2],
+             prep.normal[:, 0], prep.normal[:, 1], prep.normal[:, 2]]
+    blob = jnp.stack(rows, axis=0)                      # [F, N]
+    return jnp.pad(blob, ((0, 0), (0, 1)))
+
+
+def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int):
+    """Duplicate-expand, sort by (tile, depth), K-align per-tile ranges.
+
+    Returns (padded_idx [M_pad] int32 splat indices (N = dummy),
+             starts [n_tiles], counts [n_tiles], n_dropped)."""
+    N = prep.depth.shape[0]
+    n_tiles = tiles_x * tiles_y
+    cx, cy = prep.center2d[:, 0], prep.center2d[:, 1]
+    r = prep.radius
+    valid = prep.valid & (r > 0)
+
+    tx0 = jnp.clip(jnp.floor((cx - r) / TILE), 0, tiles_x).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((cx + r) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((cy - r) / TILE), 0, tiles_y).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((cy + r) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
+    nx = jnp.where(valid, tx1 - tx0, 0)
+    ny = jnp.where(valid, ty1 - ty0, 0)
+    n_want = nx * ny
+    n_dropped = jnp.maximum(n_want - max_dup, 0).sum()
+
+    j = jnp.arange(max_dup, dtype=jnp.int32)[None, :]            # [1,D]
+    nx_safe = jnp.maximum(nx, 1)[:, None]
+    dup_valid = (j < jnp.minimum(n_want, max_dup)[:, None])
+    tile = ((ty0[:, None] + j // nx_safe) * tiles_x
+            + (tx0[:, None] + j % nx_safe))
+    tile = jnp.where(dup_valid, tile, n_tiles)
+
+    depth = jnp.broadcast_to(prep.depth[:, None], tile.shape)
+    sidx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], tile.shape)
+
+    tile_f = tile.reshape(-1)
+    depth_f = depth.reshape(-1)
+    sidx_f = sidx.reshape(-1)
+    tile_s, _, sidx_s = jax.lax.sort((tile_f, depth_f, sidx_f), num_keys=2)
+
+    tids = jnp.arange(n_tiles, dtype=jnp.int32)
+    starts_raw = jnp.searchsorted(tile_s, tids, side="left").astype(jnp.int32)
+    ends_raw = jnp.searchsorted(tile_s, tids + 1, side="left").astype(jnp.int32)
+    counts = ends_raw - starts_raw
+
+    padded_counts = ((counts + K - 1) // K) * K
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(padded_counts)[:-1].astype(jnp.int32)])
+
+    M = N * max_dup
+    M_pad = ((M + n_tiles * K) // K + 1) * K
+    # destination position of each sorted entry
+    rank = jnp.arange(M, dtype=jnp.int32) - starts_raw[jnp.clip(tile_s, 0, n_tiles - 1)]
+    dest = jnp.where(tile_s < n_tiles,
+                     starts[jnp.clip(tile_s, 0, n_tiles - 1)] + rank, M_pad)
+    padded_idx = jnp.full((M_pad,), N, jnp.int32).at[dest].set(sidx_s, mode="drop")
+    return padded_idx, starts, counts, n_dropped
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP core
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _raster_core(blob, padded_idx, starts, counts, tiles_x, tiles_y,
+                 interpret):
+    fb, ints = _core_fwd_impl(blob, padded_idx, starts, counts, tiles_x,
+                              tiles_y, interpret)
+    return fb
+
+
+def _core_fwd_impl(blob, padded_idx, starts, counts, tiles_x, tiles_y,
+                   interpret):
+    n_tiles = tiles_x * tiles_y
+    pblob = jnp.pad(blob, ((0, F_PAD - F), (0, 0)))[:, padded_idx]  # [F_PAD, M_pad]
+    kernel = _make_fwd_kernel(tiles_x)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((1, CH, 8, 128), lambda t, *_: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 8, 128), lambda t, *_: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, F_PAD, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    fb, ints = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((n_tiles, CH, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 2, 8, 128), jnp.int32),
+        ),
+        interpret=interpret,
+    )(starts, counts, pblob)
+    return fb, ints
+
+
+def _core_fwd(blob, padded_idx, starts, counts, tiles_x, tiles_y, interpret):
+    fb, ints = _core_fwd_impl(blob, padded_idx, starts, counts, tiles_x,
+                              tiles_y, interpret)
+    return fb, (blob, padded_idx, starts, counts, fb, ints)
+
+
+def _core_bwd(tiles_x, tiles_y, interpret, res, ct_fb):
+    blob, padded_idx, starts, counts, fb, ints = res
+    n_tiles = tiles_x * tiles_y
+    M_pad = padded_idx.shape[0]
+    pblob = jnp.pad(blob, ((0, F_PAD - F), (0, 0)))[:, padded_idx]
+
+    # cotangent channels the kernel consumes: [dC3, dD, dA, dN3, dMed,
+    # dDist, dT] = 11, padded to CH for a uniform block.
+    ct = jnp.stack([
+        ct_fb[:, 0], ct_fb[:, 1], ct_fb[:, 2], ct_fb[:, 3], ct_fb[:, 4],
+        ct_fb[:, 5], ct_fb[:, 6], ct_fb[:, 7], ct_fb[:, 8], ct_fb[:, 9],
+        ct_fb[:, 10]], axis=1)
+    ct = jnp.pad(ct, ((0, 0), (0, CH - 11), (0, 0), (0, 0)))
+
+    kernel = _make_bwd_kernel(tiles_x)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, CH, 8, 128), lambda t, *_: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 8, 128), lambda t, *_: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CH, 8, 128), lambda t, *_: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, F_PAD, K), jnp.float32),
+            pltpu.VMEM((F_PAD, K), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    grad_padded = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((F_PAD, M_pad), jnp.float32),
+        interpret=interpret,
+    )(starts, counts, pblob, fb, ints, ct)
+
+    Np1 = blob.shape[1]
+    grad_blob = jnp.zeros((F, Np1), jnp.float32).at[:, padded_idx].add(
+        grad_padded[:F], mode="drop")
+    # dummy column N absorbs padding grads; zero it
+    grad_blob = grad_blob.at[:, Np1 - 1].set(0.0)
+    return grad_blob, None, None, None
+
+
+_raster_core.defvjp(_core_fwd, _core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+def _fb_to_maps(fb, tiles_x, tiles_y):
+    """[n_tiles, CH, 8, 128] -> [CH, H_pad, W_pad]."""
+    fb = fb.reshape(tiles_y, tiles_x, CH, 8, 4, TILE)
+    # pixel p = a*128 + b; py_local = a*4 + b//32; px_local = b%32
+    fb = jnp.transpose(fb, (2, 0, 3, 4, 1, 5))
+    return fb.reshape(CH, tiles_y * TILE, tiles_x * TILE)
+
+
+def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
+                    *, max_dup: int = 24, interpret: bool | None = None
+                    ) -> Dict[str, jnp.ndarray]:
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tiles_x = -(-width // TILE)
+    tiles_y = -(-height // TILE)
+    half_wh = jnp.array([0.5 * width, 0.5 * height], jnp.float32)
+
+    blob = _build_blob(prep, means2d, half_wh)
+    padded_idx, starts, counts, _ = jax.lax.stop_gradient(
+        _binning(prep, tiles_x, tiles_y, max_dup))
+
+    fb = _raster_core(blob, padded_idx, starts, counts, tiles_x, tiles_y,
+                      interpret)
+    maps = _fb_to_maps(fb, tiles_x, tiles_y)[:, :height, :width]
+
+    image = maps[0:3] + maps[10][None] * bg[:, None, None]
+    allmap = jnp.stack([maps[3], maps[4], maps[5], maps[6], maps[7],
+                        maps[8], maps[9]], axis=0)
+    return {"image": image, "allmap": allmap}
 
 
 def available() -> bool:
-    return rasterize_tiled is not None
+    return True

@@ -1,0 +1,92 @@
+"""Pallas tiled rasterizer vs the dense oracle (interpret mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gaussmart_tpu.cameras import Camera
+from gaussmart_tpu.render import raster_common
+from gaussmart_tpu.render.raster_dense import rasterize_pixels
+from gaussmart_tpu.render.raster_pallas import rasterize_tiled
+from gaussmart_tpu.ops.sh import rgb2sh
+
+from test_raster import make_camera, make_scene
+
+
+def prep_scene(rng, n=30, width=64, height=32, **kw):
+    cam = make_camera(width=width, height=height)
+    xyz, scales, quats, opac, shs, _ = make_scene(n, rng, **kw)
+    prep = raster_common.preprocess(xyz, scales, quats, opac, shs,
+                                    jnp.ones(n, bool), cam.params(),
+                                    sh_degree=0)
+    return cam, prep, (xyz, scales, quats, opac, shs)
+
+
+def test_forward_matches_dense(rng):
+    cam, prep, _ = prep_scene(rng)
+    n = prep.depth.shape[0]
+    means2d = jnp.zeros((n, 2))
+    bg = jnp.array([0.1, 0.2, 0.3])
+    ref = rasterize_pixels(prep, means2d, bg, cam.width, cam.height, chunk=8)
+    out = rasterize_tiled(prep, means2d, bg, cam.width, cam.height,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out["image"]),
+                               np.asarray(ref["image"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["allmap"]),
+                               np.asarray(ref["allmap"]), atol=2e-4)
+
+
+def test_forward_matches_dense_dense_overlap(rng):
+    """Heavy overlap triggers early termination paths."""
+    cam, prep, _ = prep_scene(rng, n=60, spread=0.15, scale=0.4, opacity=0.95)
+    n = prep.depth.shape[0]
+    means2d = jnp.zeros((n, 2))
+    bg = jnp.zeros(3)
+    ref = rasterize_pixels(prep, means2d, bg, cam.width, cam.height, chunk=8)
+    out = rasterize_tiled(prep, means2d, bg, cam.width, cam.height,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(out["image"]),
+                               np.asarray(ref["image"]), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(out["allmap"]),
+                               np.asarray(ref["allmap"]), atol=5e-4)
+
+
+def test_gradients_match_dense(rng):
+    cam = make_camera(width=32, height=32)
+    n = 12
+    xyz, scales, quats, opac, shs, _ = make_scene(n, rng, scale=0.25)
+    target = jnp.asarray(rng.random((3, 32, 32)).astype(np.float32))
+    bg = jnp.array([0.3, 0.3, 0.3])
+
+    def loss(backend, xyz, scales, opac, shs, means2d):
+        prep = raster_common.preprocess(
+            xyz, scales, quats, opac, shs, jnp.ones(n, bool), cam.params(),
+            sh_degree=0)
+        if backend == "pallas":
+            out = rasterize_tiled(prep, means2d, bg, 32, 32, interpret=True)
+        else:
+            out = rasterize_pixels(prep, means2d, bg, 32, 32, chunk=8)
+        img = out["image"]
+        am = out["allmap"]
+        # touch every channel so all grad paths are exercised
+        return (jnp.sum((img - target) ** 2)
+                + 0.05 * jnp.sum(am[6])          # distortion
+                + 0.01 * jnp.sum(am[0])          # expected depth
+                + 0.01 * jnp.sum(am[2:5] ** 2)   # normals
+                + 0.02 * jnp.sum(am[5])          # median depth
+                + 0.01 * jnp.sum(am[1]))         # alpha
+
+    means2d = jnp.zeros((n, 2))
+    args = (xyz, scales, opac, shs, means2d)
+    l_ref = float(loss("dense", *args))
+    l_pal = float(loss("pallas", *args))
+    assert abs(l_ref - l_pal) < 1e-3 * max(1.0, abs(l_ref))
+
+    g_ref = jax.grad(lambda *a: loss("dense", *a), argnums=(0, 1, 2, 3, 4))(*args)
+    g_pal = jax.grad(lambda *a: loss("pallas", *a), argnums=(0, 1, 2, 3, 4))(*args)
+    names = ["xyz", "scales", "opac", "shs", "means2d"]
+    for nm, gr, gp in zip(names, g_ref, g_pal):
+        gr, gp = np.asarray(gr), np.asarray(gp)
+        scale = np.abs(gr).max() + 1e-6
+        np.testing.assert_allclose(gp, gr, atol=3e-3 * scale, rtol=2e-2,
+                                   err_msg=f"grad mismatch: {nm}")
