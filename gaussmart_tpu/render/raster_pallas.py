@@ -135,7 +135,7 @@ def _make_fwd_kernel(tiles_x: int):
 
         def get_dma(slot, c):
             return pltpu.make_async_copy(
-                blob_ref.at[:, pl.ds(start + c * K, K)],
+                blob_ref.at[pl.ds(start + c * K, K), :],
                 chunk.at[slot], sems.at[slot])
 
         @pl.when(n_chunks > 0)
@@ -154,7 +154,7 @@ def _make_fwd_kernel(tiles_x: int):
 
             def entry(e, st):
                 e_rel = c * K + e
-                col = chunk[slot, :, e]               # [F_PAD]
+                col = chunk[slot, e, :]               # [F_PAD] row read
                 geomscal = col[0:13]
                 opacity = col[13]
                 alpha, depth = _alpha_from(geomscal, opacity, px, py)
@@ -202,7 +202,13 @@ def _make_fwd_kernel(tiles_x: int):
             c, st = carry
             return (c < n_chunks) & (jnp.sum(st["done"]) < 8 * 128)
 
-        _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), state0))
+        c_final, st = jax.lax.while_loop(cond, body, (jnp.int32(0), state0))
+
+        # Early exit leaves the prefetched chunk c_final in flight; a
+        # dangling DMA semaphore deadlocks the core at teardown — drain it.
+        @pl.when(c_final < n_chunks)
+        def _():
+            get_dma(jax.lax.rem(c_final, 2), c_final).wait()
 
         names = ["C0", "C1", "C2", "D", "A", "N0", "N1", "N2", "med",
                  "dist", "T", "M1", "M2"]
@@ -244,7 +250,7 @@ def _make_bwd_kernel(tiles_x: int):
 
         def get_dma(slot, c):
             return pltpu.make_async_copy(
-                blob_ref.at[:, pl.ds(start + c * K, K)],
+                blob_ref.at[pl.ds(start + c * K, K), :],
                 chunk.at[slot], sems.at[slot])
 
         @pl.when(n_chunks > 0)
@@ -265,7 +271,7 @@ def _make_bwd_kernel(tiles_x: int):
                 e = K - 1 - j            # reverse within chunk
                 T_cur, S = carry2
                 e_rel = c * K + e
-                col = chunk[slot, :, e]
+                col = chunk[slot, e, :]
                 geomscal = col[0:13]
                 opacity = col[13]
                 color = (col[14], col[15], col[16])
@@ -314,7 +320,7 @@ def _make_bwd_kernel(tiles_x: int):
                 for ci in range(3):
                     gcol.append(jnp.sum(w * dN[ci]))
                 grow = jnp.stack(gcol + [jnp.float32(0.0)] * (F_PAD - F))
-                gchunk[:, e] = grow
+                gchunk[e, :] = grow
 
                 S = S + jnp.where(contrib, w * dLdw, 0.0)
                 return T_before, S
@@ -323,7 +329,7 @@ def _make_bwd_kernel(tiles_x: int):
 
             # flush gradient chunk to HBM
             out_dma = pltpu.make_async_copy(
-                gchunk, grad_ref.at[:, pl.ds(start + c * K, K)], gsem)
+                gchunk, grad_ref.at[pl.ds(start + c * K, K), :], gsem)
             out_dma.start()
             out_dma.wait()
             return c - 1, T_cur, S
@@ -354,8 +360,8 @@ def _build_blob(prep: Preprocessed, means2d, half_wh):
              shift[:, 0], shift[:, 1], prep.opacity,
              prep.color[:, 0], prep.color[:, 1], prep.color[:, 2],
              prep.normal[:, 0], prep.normal[:, 1], prep.normal[:, 2]]
-    blob = jnp.stack(rows, axis=0)                      # [F, N]
-    return jnp.pad(blob, ((0, 0), (0, 1)))
+    blob = jnp.stack(rows, axis=1)                      # [N, F]
+    return jnp.pad(blob, ((0, 1), (0, 0)))
 
 
 def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int):
@@ -427,12 +433,12 @@ def _raster_core(blob, padded_idx, starts, counts, tiles_x, tiles_y,
 def _core_fwd_impl(blob, padded_idx, starts, counts, tiles_x, tiles_y,
                    interpret):
     n_tiles = tiles_x * tiles_y
-    pblob = jnp.pad(blob, ((0, F_PAD - F), (0, 0)))[:, padded_idx]  # [F_PAD, M_pad]
+    pblob = jnp.pad(blob, ((0, 0), (0, F_PAD - F)))[padded_idx]  # [M_pad, F_PAD]
     kernel = _make_fwd_kernel(tiles_x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[
             pl.BlockSpec((1, CH, 8, 128), lambda t, *_: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -440,7 +446,7 @@ def _core_fwd_impl(blob, padded_idx, starts, counts, tiles_x, tiles_y,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, F_PAD, K), jnp.float32),
+            pltpu.VMEM((2, K, F_PAD), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -466,7 +472,7 @@ def _core_bwd(tiles_x, tiles_y, interpret, res, ct_fb):
     blob, padded_idx, starts, counts, fb, ints = res
     n_tiles = tiles_x * tiles_y
     M_pad = padded_idx.shape[0]
-    pblob = jnp.pad(blob, ((0, F_PAD - F), (0, 0)))[:, padded_idx]
+    pblob = jnp.pad(blob, ((0, 0), (0, F_PAD - F)))[padded_idx]
 
     # cotangent channels the kernel consumes: [dC3, dD, dA, dN3, dMed,
     # dDist, dT] = 11, padded to CH for a uniform block.
@@ -481,7 +487,7 @@ def _core_bwd(tiles_x, tiles_y, interpret, res, ct_fb):
         num_scalar_prefetch=2,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, CH, 8, 128), lambda t, *_: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2, 8, 128), lambda t, *_: (t, 0, 0, 0),
@@ -489,10 +495,10 @@ def _core_bwd(tiles_x, tiles_y, interpret, res, ct_fb):
             pl.BlockSpec((1, CH, 8, 128), lambda t, *_: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, F_PAD, K), jnp.float32),
-            pltpu.VMEM((F_PAD, K), jnp.float32),
+            pltpu.VMEM((2, K, F_PAD), jnp.float32),
+            pltpu.VMEM((K, F_PAD), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -500,15 +506,15 @@ def _core_bwd(tiles_x, tiles_y, interpret, res, ct_fb):
     grad_padded = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((F_PAD, M_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((M_pad, F_PAD), jnp.float32),
         interpret=interpret,
     )(starts, counts, pblob, fb, ints, ct)
 
-    Np1 = blob.shape[1]
-    grad_blob = jnp.zeros((F, Np1), jnp.float32).at[:, padded_idx].add(
-        grad_padded[:F], mode="drop")
-    # dummy column N absorbs padding grads; zero it
-    grad_blob = grad_blob.at[:, Np1 - 1].set(0.0)
+    Np1 = blob.shape[0]
+    grad_blob = jnp.zeros((Np1, F), jnp.float32).at[padded_idx].add(
+        grad_padded[:, :F], mode="drop")
+    # dummy row N absorbs padding grads; zero it
+    grad_blob = grad_blob.at[Np1 - 1].set(0.0)
     return grad_blob, None, None, None
 
 
