@@ -55,7 +55,7 @@ from gaussmart_tpu.render.raster_common import (ALPHA_EPS, ALPHA_MAX,
 TILE = 32           # 32x32 pixels = one (8,128) vreg layout
 K = 128             # splat entries per DMA chunk
 F = 20              # blob feature rows (see _build_blob)
-F_PAD = 24          # sublane-aligned
+F_PAD = 128         # lane-aligned (Mosaic requires 128-wide lane slices)
 CH = 13             # forward framebuffer channels
 
 

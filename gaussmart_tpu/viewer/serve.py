@@ -1,0 +1,69 @@
+"""Live-viewer CLI — `python -m gaussmart_tpu.viewer.serve -m <model>`.
+
+Parity with reference view.py:9-51: load the trained model, loop serving
+renders to a connected SIBR viewer over the network_gui protocol.
+"""
+from __future__ import annotations
+
+import sys
+from argparse import ArgumentParser
+
+import jax.numpy as jnp
+
+from gaussmart_tpu.config import (ModelParams, PipelineParams, add_group_args,
+                                  extract_group)
+from gaussmart_tpu.render.api import render
+from gaussmart_tpu.scene import Scene
+from gaussmart_tpu.viewer.protocol import (NetworkGUI, image_to_bytes,
+                                           render_net_image)
+
+
+def view(dataset: ModelParams, pipe: PipelineParams, iteration: int,
+         gui: NetworkGUI, max_frames: int | None = None):
+    scene = Scene(dataset, load_iteration=iteration, shuffle=False)
+    state = scene.gaussians
+    bg = jnp.asarray([1.0, 1.0, 1.0] if dataset.white_background
+                     else [0.0, 0.0, 0.0])
+    served = 0
+    while max_frames is None or served < max_frames:
+        if gui.conn is None:
+            gui.try_connect(dataset.render_items)
+        while gui.conn is not None:
+            try:
+                net_image_bytes = None
+                cam, _, _, scaling_mod, render_mode = gui.receive()
+                if cam is not None:
+                    pkg = render(cam.params(), state, bg,
+                                 scaling_modifier=scaling_mod,
+                                 depth_ratio=pipe.depth_ratio,
+                                 backend=pipe.backend)
+                    net_image = render_net_image(pkg, dataset.render_items,
+                                                 render_mode, cam)
+                    net_image_bytes = image_to_bytes(net_image)
+                metrics = {"#": int(state.n_active)}
+                gui.send(net_image_bytes, dataset.source_path, metrics)
+                served += 1
+                if max_frames is not None and served >= max_frames:
+                    return
+            except Exception:
+                gui.close()
+
+
+def main(argv=None):
+    parser = ArgumentParser(description="gaussmart_tpu live viewer")
+    add_group_args(parser, ModelParams)
+    add_group_args(parser, PipelineParams)
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
+    parser.add_argument("--iteration", type=int, default=30000)
+    args = parser.parse_args(argv)
+    print("View: " + args.model_path)
+    gui = NetworkGUI()
+    gui.init(args.ip, args.port)
+    view(extract_group(args, ModelParams), extract_group(args, PipelineParams),
+         args.iteration, gui)
+    print("\nViewing complete.")
+
+
+if __name__ == "__main__":
+    main()
