@@ -38,6 +38,7 @@ from gaussmart_tpu.scene import Scene
 from gaussmart_tpu.train_lib import (make_densify_step, make_train_step,
                                      reset_opacity_jit)
 from gaussmart_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from gaussmart_tpu.logging_utils import TensorBoardLogger, profile_trace
 
 
 def training(dataset: ModelParams, opt: OptimizationParams,
@@ -48,8 +49,10 @@ def training(dataset: ModelParams, opt: OptimizationParams,
              dino_start_iter: int = 3000, dino_mode: str = "fixed",
              seed: int = 0, quiet: bool = False,
              capacity: Optional[int] = None,
-             log_every: int = 10):
+             log_every: int = 10, profile_dir: Optional[str] = None,
+             tensorboard: bool = True):
     os.makedirs(dataset.model_path, exist_ok=True)
+    tb = TensorBoardLogger(dataset.model_path) if tensorboard else None
     scene = Scene(dataset, capacity=capacity, seed=seed)
     state = scene.gaussians
     adam = init_adam(state.params)
@@ -125,12 +128,21 @@ def training(dataset: ModelParams, opt: OptimizationParams,
                 "iteration": iteration, "dino_loss": float(m.dino),
                 "total_loss": float(m.total), "l1_loss": float(m.l1),
                 "dist_loss": float(m.dist), "normal_loss": float(m.normal)})
+            if tb is not None:
+                tb.scalar("train_loss_patches/total_loss", float(m.total), iteration)
+                tb.scalar("train_loss_patches/reg_loss", float(m.l1), iteration)
+                tb.scalar("train_loss_patches/dist_loss", ema["dist"], iteration)
+                tb.scalar("train_loss_patches/normal_loss", ema["normal"], iteration)
+                tb.scalar("train_loss_patches/dino_loss", ema["dino"], iteration)
+                tb.scalar("total_points", int(m.n_active), iteration)
+                tb.scalar("iter_time",
+                          (time.time() - t_start) / iteration, iteration)
             if len(log_rows) >= 50:
                 _flush_log(loss_log_path, log_fields, log_rows)
 
         if iteration in testing_iterations:
             state = state.replace(params=params, aux=aux)
-            report_eval(scene, state, pipe, dataset, iteration)
+            report_eval(scene, state, pipe, dataset, iteration, tb=tb)
             params, aux = state.params, state.aux
 
         if iteration in saving_iterations:
@@ -164,6 +176,8 @@ def training(dataset: ModelParams, opt: OptimizationParams,
                             state, adam, iteration)
 
     _flush_log(loss_log_path, log_fields, log_rows)
+    if tb is not None:
+        tb.close()
     return state.replace(params=params, aux=aux), adam
 
 
@@ -213,7 +227,7 @@ def _build_dino_fn(lambda_dino: float, start_iter: int, mode: str):
     return fn
 
 
-def report_eval(scene: Scene, state, pipe, dataset, iteration):
+def report_eval(scene: Scene, state, pipe, dataset, iteration, tb=None):
     """In-loop test/train eval (train.py:268-344)."""
     from gaussmart_tpu.ops.image import psnr as psnr_fn, l1_loss
     from gaussmart_tpu.ops.ssim import ssim as ssim_fn
@@ -230,16 +244,32 @@ def report_eval(scene: Scene, state, pipe, dataset, iteration):
         if not cams:
             continue
         tot = {"l1": 0.0, "psnr": 0.0, "ssim": 0.0}
-        for cam in cams:
+        for vi, cam in enumerate(cams):
             pkg = render(cam.params(), state, bg,
                          depth_ratio=pipe.depth_ratio, backend=pipe.backend)
             img = jnp.clip(pkg["render"], 0, 1)
             gt = jnp.clip(jnp.asarray(cam.image), 0, 1)
+            if tb is not None and vi < 5:
+                import numpy as _np
+                tb.image(f"{name}_view_{cam.image_name}/render",
+                         _np.asarray(img), iteration)
+                d = pkg["surf_depth"]
+                d = d / jnp.maximum(d.max(), 1e-9)
+                tb.image(f"{name}_view_{cam.image_name}/depth",
+                         _np.asarray(jnp.concatenate([d] * 3, 0)), iteration)
+                tb.image(f"{name}_view_{cam.image_name}/rend_normal",
+                         _np.asarray(pkg["rend_normal"] * 0.5 + 0.5), iteration)
+                tb.image(f"{name}_view_{cam.image_name}/rend_alpha",
+                         _np.asarray(jnp.concatenate([pkg["rend_alpha"]] * 3, 0)),
+                         iteration)
             tot["l1"] += float(l1_loss(img, gt))
             tot["psnr"] += float(psnr_fn(img[None], gt[None])[0, 0])
             tot["ssim"] += float(ssim_fn(img, gt))
         n = len(cams)
         results[name] = {k: v / n for k, v in tot.items()}
+        if tb is not None:
+            for k, v in results[name].items():
+                tb.scalar(f"{name}/loss_viewpoint - {k}", v, iteration)
         print(f"\n[ITER {iteration}] Evaluating {name}: "
               f"L1 {results[name]['l1']:.5f} PSNR {results[name]['psnr']:.3f} "
               f"SSIM {results[name]['ssim']:.4f}")
@@ -279,6 +309,9 @@ def build_parser() -> ArgumentParser:
                         choices=["fixed", "parity", "off"])
     parser.add_argument("--capacity", type=int, default=None)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace to this dir")
+    parser.add_argument("--no_tensorboard", action="store_true")
     return parser
 
 
@@ -318,12 +351,16 @@ def main(argv=None):
     os.makedirs(dataset.model_path, exist_ok=True)
     save_cfg(dataset.model_path, args)
 
-    training(dataset, opt, pipe, args.test_iterations, args.save_iterations,
-             args.checkpoint_iterations, args.start_checkpoint,
-             use_dino_loss=(args.dino_mode != "off"),
-             lambda_dino=args.lambda_dino,
-             dino_start_iter=args.dino_start_iter, dino_mode=args.dino_mode,
-             seed=args.seed, quiet=args.quiet, capacity=args.capacity)
+    with profile_trace(args.profile_dir):
+        training(dataset, opt, pipe, args.test_iterations,
+                 args.save_iterations, args.checkpoint_iterations,
+                 args.start_checkpoint,
+                 use_dino_loss=(args.dino_mode != "off"),
+                 lambda_dino=args.lambda_dino,
+                 dino_start_iter=args.dino_start_iter,
+                 dino_mode=args.dino_mode, seed=args.seed, quiet=args.quiet,
+                 capacity=args.capacity,
+                 tensorboard=not args.no_tensorboard)
     print("\nTraining complete.")
 
 
