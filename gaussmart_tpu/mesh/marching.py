@@ -42,14 +42,20 @@ def _interp(p_a, p_b, f_a, f_b, level):
 
 def marching_tetrahedra(volume: np.ndarray, level: float = 0.0,
                         spacing: Sequence[float] = (1.0, 1.0, 1.0),
-                        origin: Sequence[float] = (0.0, 0.0, 0.0)
+                        origin: Sequence[float] = (0.0, 0.0, 0.0),
+                        use_native: bool = True
                         ) -> Tuple[np.ndarray, np.ndarray]:
     """Extract the `level` isosurface of a [X,Y,Z] scalar grid.
 
     Returns (vertices [V,3], faces [F,3]); vertices in world units
     (origin + index*spacing). Vertices are NOT welded (use
-    TriMesh.merge_vertices).
+    TriMesh.merge_vertices). Dispatches to the C++ core when built.
     """
+    if use_native:
+        from gaussmart_tpu.mesh import native
+        if native.available():
+            return native.marching_tetrahedra_native(volume, level, spacing,
+                                                     origin)
     X, Y, Z = volume.shape
     f = volume
 

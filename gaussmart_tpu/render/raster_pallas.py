@@ -240,6 +240,10 @@ def _make_bwd_kernel(tiles_x: int):
         T_final = fb_ref[0, 10]
         n_contrib = ints_ref[0, 0]
         med_e = ints_ref[0, 1]
+        # chunks past the last contributor carry zero gradient: skip their
+        # compute entirely (big win under heavy early termination)
+        n_rel_chunks = jnp.minimum(n_chunks,
+                                   pl.cdiv(jnp.max(n_contrib), K))
         dC = (ct_ref[0, 0], ct_ref[0, 1], ct_ref[0, 2])
         dD = ct_ref[0, 3]
         dA = ct_ref[0, 4]
@@ -253,12 +257,24 @@ def _make_bwd_kernel(tiles_x: int):
                 blob_ref.at[pl.ds(start + c * K, K), :],
                 chunk.at[slot], sems.at[slot])
 
-        @pl.when(n_chunks > 0)
+        # zero-flush the skipped tail chunks [n_rel_chunks, n_chunks)
+        gchunk[...] = jnp.zeros((K, F_PAD), jnp.float32)
+
+        def flush_zero(c, _):
+            dma = pltpu.make_async_copy(
+                gchunk, grad_ref.at[pl.ds(start + c * K, K), :], gsem)
+            dma.start()
+            dma.wait()
+            return 0
+
+        jax.lax.fori_loop(n_rel_chunks, n_chunks, flush_zero, 0)
+
+        @pl.when(n_rel_chunks > 0)
         def _():
-            get_dma(jax.lax.rem(n_chunks - 1, 2), n_chunks - 1).start()
+            get_dma(jax.lax.rem(n_rel_chunks - 1, 2), n_rel_chunks - 1).start()
 
         def body(carry):
-            c, T_cur, S = carry          # c runs n_chunks-1 .. 0
+            c, T_cur, S = carry          # c runs n_rel_chunks-1 .. 0
             slot = jax.lax.rem(c, 2)
 
             @pl.when(c > 0)
@@ -340,7 +356,7 @@ def _make_bwd_kernel(tiles_x: int):
 
         jax.lax.while_loop(
             cond, lambda carry: body((carry[0], carry[1], carry[2])),
-            (n_chunks - 1, T_final, jnp.zeros((8, 128), jnp.float32)))
+            (n_rel_chunks - 1, T_final, jnp.zeros((8, 128), jnp.float32)))
 
     return kernel
 

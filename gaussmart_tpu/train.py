@@ -50,7 +50,7 @@ def training(dataset: ModelParams, opt: OptimizationParams,
              seed: int = 0, quiet: bool = False,
              capacity: Optional[int] = None,
              log_every: int = 10, profile_dir: Optional[str] = None,
-             tensorboard: bool = True):
+             tensorboard: bool = True, gui=None):
     os.makedirs(dataset.model_path, exist_ok=True)
     tb = TensorBoardLogger(dataset.model_path) if tensorboard else None
     scene = Scene(dataset, capacity=capacity, seed=seed)
@@ -168,6 +168,11 @@ def training(dataset: ModelParams, opt: OptimizationParams,
                 state, adam = reset_opacity_jit(state, adam)
                 params, aux = state.params, state.aux
 
+        # live viewer polling (train.py:223-242)
+        if gui is not None:
+            _serve_gui(gui, state.replace(params=params, aux=aux), pipe,
+                       dataset, ema, iteration, opt.iterations)
+
         if iteration in checkpoint_iterations:
             print(f"\n[ITER {iteration}] Saving Checkpoint")
             state = state.replace(params=params, aux=aux)
@@ -179,6 +184,34 @@ def training(dataset: ModelParams, opt: OptimizationParams,
     if tb is not None:
         tb.close()
     return state.replace(params=params, aux=aux), adam
+
+
+def _serve_gui(gui, state, pipe, dataset, ema, iteration, max_iters):
+    """One GUI poll/serve round (reference train.py:223-242 semantics)."""
+    import jax.numpy as jnp
+    from gaussmart_tpu.viewer.protocol import image_to_bytes, render_net_image
+
+    bg = jnp.asarray([1.0, 1.0, 1.0] if dataset.white_background
+                     else [0.0, 0.0, 0.0])
+    if gui.conn is None:
+        gui.try_connect(dataset.render_items)
+    while gui.conn is not None:
+        try:
+            net_image_bytes = None
+            cam, do_training, keep_alive, smod, mode = gui.receive()
+            if cam is not None:
+                pkg = render(cam.params(), state, bg, scaling_modifier=smod,
+                             depth_ratio=pipe.depth_ratio,
+                             backend=pipe.backend)
+                net_image = render_net_image(pkg, dataset.render_items, mode,
+                                             cam)
+                net_image_bytes = image_to_bytes(net_image)
+            gui.send(net_image_bytes, dataset.source_path,
+                     {"#": int(state.n_active), "loss": ema["loss"]})
+            if do_training and (iteration < max_iters or not keep_alive):
+                break
+        except Exception:
+            gui.close()
 
 
 def _flush_log(path, fields, rows):
@@ -312,6 +345,8 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace to this dir")
     parser.add_argument("--no_tensorboard", action="store_true")
+    parser.add_argument("--gui", action="store_true",
+                        help="serve the live viewer during training")
     return parser
 
 
@@ -351,6 +386,12 @@ def main(argv=None):
     os.makedirs(dataset.model_path, exist_ok=True)
     save_cfg(dataset.model_path, args)
 
+    gui = None
+    if args.gui:
+        from gaussmart_tpu.viewer.protocol import NetworkGUI
+        gui = NetworkGUI()
+        gui.init(args.ip, args.port)
+
     with profile_trace(args.profile_dir):
         training(dataset, opt, pipe, args.test_iterations,
                  args.save_iterations, args.checkpoint_iterations,
@@ -360,7 +401,7 @@ def main(argv=None):
                  dino_start_iter=args.dino_start_iter,
                  dino_mode=args.dino_mode, seed=args.seed, quiet=args.quiet,
                  capacity=args.capacity,
-                 tensorboard=not args.no_tensorboard)
+                 tensorboard=not args.no_tensorboard, gui=gui)
     print("\nTraining complete.")
 
 
