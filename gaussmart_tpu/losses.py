@@ -63,6 +63,20 @@ def dino_term(image: jnp.ndarray, gt: jnp.ndarray,
     return lambda_dino * (1.0 - _cosine(e1, e2))
 
 
+def smooth_loss(disp: jnp.ndarray, img: jnp.ndarray) -> jnp.ndarray:
+    """Edge-aware disparity smoothness (loss_utils.py:64-74; unused by the
+    reference training loop but part of the loss surface)."""
+    gdx = jnp.abs(disp[:, 1:-1, :-2] + disp[:, 1:-1, 2:]
+                  - 2 * disp[:, 1:-1, 1:-1])
+    gdy = jnp.abs(disp[:, :-2, 1:-1] + disp[:, 2:, 1:-1]
+                  - 2 * disp[:, 1:-1, 1:-1])
+    gix = jnp.mean(jnp.abs(img[:, 1:-1, :-2] - img[:, 1:-1, 2:]), 0,
+                   keepdims=True) * 0.5
+    giy = jnp.mean(jnp.abs(img[:, :-2, 1:-1] - img[:, 2:, 1:-1]), 0,
+                   keepdims=True) * 0.5
+    return (gdx * jnp.exp(-gix)).mean() + (gdy * jnp.exp(-giy)).mean()
+
+
 def _cosine(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     a = a.reshape(-1)
     b = b.reshape(-1)

@@ -49,7 +49,7 @@ if not args.skip_metrics:
     script_dir = os.path.dirname(os.path.abspath(__file__))
     for s in DTU_SCENES:
         scan_id = s[4:]
-        sh(f"{sys.executable} -m gaussmart_tpu.eval.chamfer "
-           f"--data {args.output_path}/{s}/train/ours_30000/fuse_post.ply "
-           f"--scan {scan_id} --dataset_dir {args.DTU_Official} "
-           f"--vis_out_dir {script_dir}/tmp/scan{scan_id}")
+        sh(f"{sys.executable} -m gaussmart_tpu.eval.cull "
+           f"--input_mesh {args.output_path}/{s}/train/ours_30000/fuse_post.ply "
+           f"--scan_id {scan_id} --output_dir {script_dir}/tmp/scan{scan_id} "
+           f"--mask_dir {args.dtu} --DTU {args.DTU_Official}")
