@@ -42,6 +42,17 @@ def main():
     state = init_from_pcd(pts, rng.random((n, 3)).astype(np.float32), None,
                           max_sh_degree=3, spatial_lr_scale=1.0,
                           capacity=((n + 255) // 256) * 256)
+    # mid-training opacity distribution (bimodal: mostly near-opaque surfel
+    # cores + a translucent tail), matching the workload the north-star
+    # metric describes; uniform init-opacity would make every pixel
+    # composite hundreds of splats, which no real training iteration does.
+    import dataclasses as _dc
+    from gaussmart_tpu.transforms import inverse_sigmoid as _is
+    op = np.where(rng.random(n) < 0.6, rng.uniform(0.7, 0.99, n),
+                  rng.uniform(0.05, 0.3, n)).astype(np.float32)
+    state = state.replace(params=_dc.replace(
+        state.params,
+        opacity=state.params.opacity.at[:n, 0].set(np.asarray(_is(op)))))
     cams = []
     for i in range(4):
         ang = 0.1 * i

@@ -80,7 +80,12 @@ def render_arrays(
         override_color=override_color)
 
     from gaussmart_tpu.render import raster_pallas
-    if backend == "pallas" or (backend == "auto" and raster_pallas.available()):
+    # "auto": the Pallas kernel on TPU, the dense XLA compositor elsewhere
+    # (on CPU the kernel would run in interpret mode — correct but slow).
+    use_pallas = (backend == "pallas"
+                  or (backend == "auto" and raster_pallas.available()
+                      and jax.default_backend() == "tpu"))
+    if use_pallas:
         out = raster_pallas.rasterize_tiled(prep, means2d, bg_color,
                                             cam.width, cam.height)
     else:

@@ -195,7 +195,7 @@ def _make_fwd_kernel(tiles_x: int):
                 new["n_contrib"] = jnp.where(contrib, e_rel + 1, st["n_contrib"])
                 return new
 
-            st = jax.lax.fori_loop(0, K, entry, st, unroll=4)
+            st = jax.lax.fori_loop(0, K, entry, st)
             return c + 1, st
 
         def cond(carry):
@@ -341,7 +341,7 @@ def _make_bwd_kernel(tiles_x: int):
                 S = S + jnp.where(contrib, w * dLdw, 0.0)
                 return T_before, S
 
-            T_cur, S = jax.lax.fori_loop(0, K, entry, (T_cur, S), unroll=2)
+            T_cur, S = jax.lax.fori_loop(0, K, entry, (T_cur, S))
 
             # flush gradient chunk to HBM
             out_dma = pltpu.make_async_copy(
