@@ -24,6 +24,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from gaussmart_tpu.runtime import setup as _runtime_setup
+    _runtime_setup()
+
     from gaussmart_tpu.cameras import Camera
     from gaussmart_tpu.config import OptimizationParams
     from gaussmart_tpu.models.gaussians import init_from_pcd

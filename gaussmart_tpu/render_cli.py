@@ -22,6 +22,8 @@ from gaussmart_tpu.trajectory import create_video, generate_path
 
 
 def main(argv=None):
+    from gaussmart_tpu.runtime import setup as _runtime_setup
+    _runtime_setup()
     parser = ArgumentParser(description="gaussmart_tpu rendering")
     add_group_args(parser, ModelParams, sentinel=True)
     add_group_args(parser, PipelineParams)

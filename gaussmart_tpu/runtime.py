@@ -1,0 +1,21 @@
+"""Process-level runtime setup shared by all CLIs."""
+from __future__ import annotations
+
+import os
+
+
+def setup(cache_dir: str | None = None):
+    """Enable the persistent XLA compilation cache (kernel compiles for the
+    rasterizer take minutes on remote TPU backends; cache them across
+    processes) and keep default matmul precision at f32 for camera math."""
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "GAUSSMART_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/gaussmart_tpu/xla_cache"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        print(f"[runtime] compilation cache unavailable: {e}")

@@ -351,6 +351,8 @@ def build_parser() -> ArgumentParser:
 
 
 def main(argv=None):
+    from gaussmart_tpu.runtime import setup as _runtime_setup
+    _runtime_setup()
     parser = build_parser()
     args = parser.parse_args(argv)
     args.save_iterations.append(args.iterations)
