@@ -294,17 +294,16 @@ def _make_bwd_kernel(tiles_x: int):
                 color = (col[14], col[15], col[16])
                 normal = (col[17], col[18], col[19])
 
-                def fwd_geo(scal, o):
-                    return _alpha_from(scal, o, px, py)
-
-                (alpha, depth), geo_vjp = jax.vjp(fwd_geo, geomscal, opacity)
-
+                # light pass: forward geometry only, feeds the T/S chain
+                alpha, depth = _alpha_from(geomscal, opacity, px, py)
                 contrib = (e_rel < n_contrib) & (alpha > 0)
+                is_med = med_e == e_rel
                 alpha_c = jnp.where(contrib, alpha, 0.0)
                 T_before = jnp.where(contrib, T_cur / (1.0 - alpha_c), T_cur)
                 w = jnp.where(contrib, alpha_c * T_before, 0.0)
 
-                m = jnp.where(contrib, mapped_depth(jnp.where(contrib, depth, 1.0)), 0.0)
+                dsafe = jnp.where(contrib, depth, 1.0)
+                m = jnp.where(contrib, mapped_depth(dsafe), 0.0)
                 # dL/dw_i over all channels (+ pairwise distortion identity)
                 dLdw = (color[0] * dC[0] + color[1] * dC[1] + color[2] * dC[2]
                         + depth * dD + dA
@@ -312,32 +311,46 @@ def _make_bwd_kernel(tiles_x: int):
                         + normal[2] * dN[2]
                         + (m * m * A_n + M2_n - 2.0 * m * M1_n) * dDist)
 
-                one_m_a = jnp.where(contrib, 1.0 - alpha_c, 1.0)
-                dLdalpha = jnp.where(
-                    contrib,
-                    T_before * dLdw - (S + T_final * dT_n) / one_m_a,
-                    0.0)
+                # the geometry VJP + 20 pixel reductions are ~4x the light
+                # pass; run them only when this entry touches any pixel here
+                active = jnp.sum((contrib | is_med).astype(jnp.float32)) > 0
 
-                # depth cotangent: expected-depth channel + distortion chain
-                # + median routing
-                dm_dd = (mapped_depth(jnp.where(contrib, depth, 1.0) + 0.0) * 0.0
-                         + FARNEAR / jnp.square(jnp.where(contrib, depth, 1.0)))
-                dLdd = (w * dD
-                        + dDist * 2.0 * w * (m * A_n - M1_n) * dm_dd
-                        + jnp.where(med_e == e_rel, dMed, 0.0))
-                dLdd = jnp.where(contrib | (med_e == e_rel), dLdd, 0.0)
+                @pl.when(active)
+                def _():
+                    def fwd_geo(scal, o):
+                        return _alpha_from(scal, o, px, py)
 
-                gscal, gop = geo_vjp((dLdalpha, dLdd))
+                    _, geo_vjp = jax.vjp(fwd_geo, geomscal, opacity)
 
-                # per-entry reductions
-                gcol = [jnp.sum(gscal[i]) for i in range(13)]
-                gcol.append(jnp.sum(gop))
-                for ci in range(3):
-                    gcol.append(jnp.sum(w * dC[ci]))
-                for ci in range(3):
-                    gcol.append(jnp.sum(w * dN[ci]))
-                grow = jnp.stack(gcol + [jnp.float32(0.0)] * (F_PAD - F))
-                gchunk[e, :] = grow
+                    one_m_a = jnp.where(contrib, 1.0 - alpha_c, 1.0)
+                    dLdalpha = jnp.where(
+                        contrib,
+                        T_before * dLdw - (S + T_final * dT_n) / one_m_a,
+                        0.0)
+                    # depth cotangent: expected-depth channel + distortion
+                    # chain + median routing
+                    dm_dd = FARNEAR / jnp.square(dsafe)
+                    dLdd = (w * dD
+                            + dDist * 2.0 * w * (m * A_n - M1_n) * dm_dd
+                            + jnp.where(is_med, dMed, 0.0))
+                    dLdd = jnp.where(contrib | is_med, dLdd, 0.0)
+
+                    gscal, gop = geo_vjp((dLdalpha, dLdd))
+                    vals = [jnp.sum(gscal[i]) for i in range(13)]
+                    vals.append(jnp.sum(gop))
+                    vals += [jnp.sum(w * dC[ci]) for ci in range(3)]
+                    vals += [jnp.sum(w * dN[ci]) for ci in range(3)]
+                    # pack scalars into one row with masked selects (scalar
+                    # stores to VMEM are not lowerable)
+                    lane = jax.lax.broadcasted_iota(jnp.int32, (F_PAD,), 0)
+                    row = jnp.zeros((F_PAD,), jnp.float32)
+                    for i, v in enumerate(vals):
+                        row = jnp.where(lane == i, v, row)
+                    gchunk[e, :] = row
+
+                @pl.when(jnp.logical_not(active))
+                def _():
+                    gchunk[e, :] = jnp.zeros((F_PAD,), jnp.float32)
 
                 S = S + jnp.where(contrib, w * dLdw, 0.0)
                 return T_before, S
