@@ -342,7 +342,8 @@ def _make_bwd_kernel(tiles_x: int):
                     vals += [jnp.sum(w * dN[ci]) for ci in range(3)]
                     # pack scalars into one row with masked selects (scalar
                     # stores to VMEM are not lowerable)
-                    lane = jax.lax.broadcasted_iota(jnp.int32, (F_PAD,), 0)
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, F_PAD), 1).reshape(F_PAD)
                     row = jnp.zeros((F_PAD,), jnp.float32)
                     for i, v in enumerate(vals):
                         row = jnp.where(lane == i, v, row)

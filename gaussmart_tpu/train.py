@@ -261,9 +261,13 @@ def _build_dino_fn(lambda_dino: float, start_iter: int, mode: str):
 
 
 def report_eval(scene: Scene, state, pipe, dataset, iteration, tb=None):
-    """In-loop test/train eval (train.py:268-344)."""
+    """In-loop test/train eval (train.py:268-344); LPIPS(alex) included when
+    local weights exist (train.py:70)."""
     from gaussmart_tpu.ops.image import psnr as psnr_fn, l1_loss
     from gaussmart_tpu.ops.ssim import ssim as ssim_fn
+    from gaussmart_tpu.eval import lpips_jax
+
+    lpips = lpips_jax.load_lpips("alex")
 
     bg = jnp.asarray([1.0, 1.0, 1.0] if dataset.white_background
                      else [0.0, 0.0, 0.0])
@@ -277,6 +281,8 @@ def report_eval(scene: Scene, state, pipe, dataset, iteration, tb=None):
         if not cams:
             continue
         tot = {"l1": 0.0, "psnr": 0.0, "ssim": 0.0}
+        if lpips is not None:
+            tot["lpips"] = 0.0
         for vi, cam in enumerate(cams):
             pkg = render(cam.params(), state, bg,
                          depth_ratio=pipe.depth_ratio, backend=pipe.backend)
@@ -298,6 +304,8 @@ def report_eval(scene: Scene, state, pipe, dataset, iteration, tb=None):
             tot["l1"] += float(l1_loss(img, gt))
             tot["psnr"] += float(psnr_fn(img[None], gt[None])[0, 0])
             tot["ssim"] += float(ssim_fn(img, gt))
+            if lpips is not None:
+                tot["lpips"] += float(lpips(img, gt)[0])
         n = len(cams)
         results[name] = {k: v / n for k, v in tot.items()}
         if tb is not None:
