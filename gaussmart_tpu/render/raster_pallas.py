@@ -101,6 +101,122 @@ def _alpha_from(scal_geom, opacity, px, py):
     return jnp.where(ok, alpha, 0.0), depth
 
 
+def _geom_fwd_res(scal, opacity, px, py):
+    """Forward geometry keeping the intermediates the manual VJP reuses."""
+    b = [scal[i] for i in range(9)]
+    cx, cy, sx, sy = scal[9], scal[10], scal[11], scal[12]
+    pxe = px - sx
+    pye = py - sy
+    kx = pxe * b[2] - b[0]
+    ky = pxe * b[5] - b[3]
+    kz = pxe * b[8] - b[6]
+    lx = pye * b[2] - b[1]
+    ly = pye * b[5] - b[4]
+    lz = pye * b[8] - b[7]
+    p_x = ky * lz - kz * ly
+    p_y = kz * lx - kx * lz
+    p_z = kx * ly - ky * lx
+    degenerate = jnp.abs(p_z) < 1e-12
+    inv_pz = jnp.where(degenerate, 0.0, 1.0 / jnp.where(degenerate, 1.0, p_z))
+    u = p_x * inv_pz
+    v = p_y * inv_pz
+    rho3d = jnp.where(degenerate, jnp.float32(jnp.inf), u * u + v * v)
+    depth3d = u * b[2] + v * b[5] + b[8]
+    dxc = cx - pxe
+    dyc = cy - pye
+    rho2d = FILTER_INV_SQUARE * (dxc * dxc + dyc * dyc)
+    use3d = rho3d <= rho2d
+    rho = jnp.minimum(rho3d, rho2d)
+    depth = jnp.where(use3d, depth3d, b[8])
+    g = jnp.exp(-0.5 * jnp.where(degenerate & use3d, 0.0, rho))
+    a_raw = opacity * g
+    alpha = jnp.minimum(ALPHA_MAX, a_raw)
+    ok = (alpha >= ALPHA_EPS) & (depth >= NEAR_PLANE)
+    alpha = jnp.where(ok, alpha, 0.0)
+    return dict(b=b, pxe=pxe, pye=pye, kx=kx, ky=ky, kz=kz, lx=lx, ly=ly,
+                lz=lz, inv_pz=inv_pz, u=u, v=v, use3d=use3d, dxc=dxc,
+                dyc=dyc, g=g, live=ok & (a_raw < ALPHA_MAX),
+                alpha=alpha, depth=depth)
+
+
+def _geom_manual_bwd(res, opacity, ca, cd):
+    """Hand-derived cotangents of (alpha, depth) w.r.t. the 13 geometry
+    scalars + opacity. Returns ([13] per-pixel gradient FIELDS to reduce,
+    gop field). Validated against the autodiff oracle in tests.
+
+    Chain: alpha = min(.99, o*exp(-rho/2)) gated; rho/depth branch between
+    the ray-splat intersection (rho3d, depth3d) and the screen-space
+    low-pass (rho2d, center depth b8); p = k x l with k,l affine in the
+    scalars; (u,v) = (p_x, p_y)/p_z.
+    """
+    b = res["b"]
+    live = res["live"].astype(jnp.float32)
+    g = res["g"]
+    # alpha head
+    gop_f = ca * g * live
+    crho = ca * opacity * g * (-0.5) * live
+    use3d = res["use3d"]
+    u3 = use3d.astype(jnp.float32)
+    crho3 = crho * u3
+    crho2 = crho * (1.0 - u3)
+    cdep3 = cd * u3
+    cd_b8 = cd * (1.0 - u3)
+
+    # rho2d branch: rho2d = 2(dxc^2 + dyc^2); dxc = cx - px + sx
+    f4x = 2.0 * FILTER_INV_SQUARE * res["dxc"] * crho2
+    f4y = 2.0 * FILTER_INV_SQUARE * res["dyc"] * crho2
+
+    # rho3d / depth3d branch through (u, v)
+    u, v, inv_pz = res["u"], res["v"], res["inv_pz"]
+    cu = 2.0 * u * crho3 + b[2] * cdep3
+    cv = 2.0 * v * crho3 + b[5] * cdep3
+    cpx = cu * inv_pz
+    cpy = cv * inv_pz
+    cpz = -(u * cpx + v * cpy)
+    # p = k x l:  dk = l x cp ; dl = cp x k
+    kx, ky, kz = res["kx"], res["ky"], res["kz"]
+    lx, ly, lz = res["lx"], res["ly"], res["lz"]
+    ckx = ly * cpz - lz * cpy
+    cky = lz * cpx - lx * cpz
+    ckz = lx * cpy - ly * cpx
+    clx = cpy * kz - cpz * ky
+    cly = cpz * kx - cpx * kz
+    clz = cpx * ky - cpy * kx
+
+    pxe, pye = res["pxe"], res["pye"]
+    gb = [None] * 9
+    gb[0] = -ckx
+    gb[3] = -cky
+    gb[6] = -ckz
+    gb[1] = -clx
+    gb[4] = -cly
+    gb[7] = -clz
+    gb[2] = pxe * ckx + pye * clx + u * cdep3
+    gb[5] = pxe * cky + pye * cly + v * cdep3
+    gb[8] = pxe * ckz + pye * clz + cdep3 + cd_b8
+    gcx = f4x
+    gcy = f4y
+    # sx enters via pxe (k-plane + dxc); d(pxe)/d(sx) = -1, d(dxc)/d(sx) = +1
+    gsx = f4x - (ckx * b[2] + cky * b[5] + ckz * b[8])
+    gsy = f4y - (clx * b[2] + cly * b[5] + clz * b[8])
+    return gb + [gcx, gcy, gsx, gsy], gop_f
+
+
+def _reduce_rows(fields):
+    """Sum a list of (8,128) fields to scalars with one shared lane-tree:
+    sublane-reduce each field to (1,128), stack 8 at a time, lane-reduce."""
+    out = []
+    for i in range(0, len(fields), 8):
+        group = fields[i:i + 8]
+        rows = [jnp.sum(f, axis=0, keepdims=True) for f in group]
+        while len(rows) < 8:
+            rows.append(jnp.zeros((1, 128), jnp.float32))
+        packed = jnp.concatenate(rows, axis=0)          # (8,128)
+        sums = jnp.sum(packed, axis=1)                  # (8,)
+        out.extend(sums[j] for j in range(len(group)))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
@@ -294,8 +410,9 @@ def _make_bwd_kernel(tiles_x: int):
                 color = (col[14], col[15], col[16])
                 normal = (col[17], col[18], col[19])
 
-                # light pass: forward geometry only, feeds the T/S chain
-                alpha, depth = _alpha_from(geomscal, opacity, px, py)
+                # forward geometry once; intermediates feed the manual VJP
+                res = _geom_fwd_res(geomscal, opacity, px, py)
+                alpha, depth = res["alpha"], res["depth"]
                 contrib = (e_rel < n_contrib) & (alpha > 0)
                 is_med = med_e == e_rel
                 alpha_c = jnp.where(contrib, alpha, 0.0)
@@ -317,11 +434,6 @@ def _make_bwd_kernel(tiles_x: int):
 
                 @pl.when(active)
                 def _():
-                    def fwd_geo(scal, o):
-                        return _alpha_from(scal, o, px, py)
-
-                    _, geo_vjp = jax.vjp(fwd_geo, geomscal, opacity)
-
                     one_m_a = jnp.where(contrib, 1.0 - alpha_c, 1.0)
                     dLdalpha = jnp.where(
                         contrib,
@@ -335,11 +447,12 @@ def _make_bwd_kernel(tiles_x: int):
                             + jnp.where(is_med, dMed, 0.0))
                     dLdd = jnp.where(contrib | is_med, dLdd, 0.0)
 
-                    gscal, gop = geo_vjp((dLdalpha, dLdd))
-                    vals = [jnp.sum(gscal[i]) for i in range(13)]
-                    vals.append(jnp.sum(gop))
-                    vals += [jnp.sum(w * dC[ci]) for ci in range(3)]
-                    vals += [jnp.sum(w * dN[ci]) for ci in range(3)]
+                    gfields, gop_f = _geom_manual_bwd(res, opacity,
+                                                      dLdalpha, dLdd)
+                    vals = _reduce_rows(
+                        gfields + [gop_f]
+                        + [w * dC[ci] for ci in range(3)]
+                        + [w * dN[ci] for ci in range(3)])
                     # pack scalars into one row with masked selects (scalar
                     # stores to VMEM are not lowerable)
                     lane = jax.lax.broadcasted_iota(
