@@ -1,39 +1,39 @@
 """Tile-binned Pallas TPU rasterizer — the production 2DGS compositor.
 
 Semantics-equivalent to the dense XLA compositor (raster_dense.py, itself
-the behavioral mirror of reference kernel N1 — SURVEY.md §2.2) but with the
-CUDA-style tile pipeline re-designed for TPU:
+the behavioral mirror of reference kernel N1 — SURVEY.md §2.2) with the
+CUDA tile pipeline re-designed around the TPU's (8,128) vector registers:
 
   XLA stage (vectorized, fused):
     1. expand each splat into (tile, depth, splat) duplicates over its
-       screen-space bounding rect (fixed per-splat budget, overflow counted);
-    2. one `lax.sort` by (tile, depth) — replaces the CUDA radix sort;
-    3. pack per-tile ranges to K-aligned starts so kernel DMA windows never
-       cross tiles; gather splat attributes into a [F, M] "blob".
+       16x16-tile bounding rect (fixed per-splat budget);
+    2. compact the valid duplicates (one cumsum+scatter) and sort a tight
+       ~3N work budget by a single packed int32 (tile | quantized-depth)
+       key — the XLA replacement for the CUDA radix sort;
+    3. K-align per-tile ranges so kernel DMA windows never cross tiles;
+       gather splat attributes into a row-per-entry [M, 128] blob.
 
-  Pallas stage (grid = one program per 32x32 tile):
-    * tile pixels live as a single (8, 128) f32 vreg set in VMEM;
-    * the splat list streams HBM->VMEM in K-entry chunks with double
-      buffering; per entry ~60 VPU ops composite all 1024 pixels at once
-      (the transposed parallelization of the CUDA warp-per-pixel scheme);
-    * early exit via `lax.while_loop` once every pixel saturates
-      (T < 1e-4 latch, identical to the CUDA `done` flag);
-    * forward emits 13 channels: rgb, expected-depth, alpha, normal(3),
-      median depth, distortion, final T, M1, M2 — plus per-pixel int32
-      (n_contrib, median entry index) residuals for the backward pass.
+  Pallas stage — the 4-stream sub-tile scheme: one grid program owns a
+  32x32-pixel *group* = 2x2 16x16 tiles. Each tile is an independent
+  front-to-back stream; its 256 pixels live in a 2-sublane band of the
+  (8,128) vreg set, so EVERY vector op composites 4 entries (one per
+  stream) at once. Splats are far smaller than a 32x32 tile, so v1's
+  one-entry-per-vreg scheme wasted most lanes; the 4-stream layout
+  recovers ~3x arithmetic efficiency at the cost of per-field 4-way
+  sublane broadcasts. Chunks stream HBM->VMEM with double buffering and
+  per-stream gating; early exit when every pixel of the group saturates.
 
-  Backward (custom VJP, same grid): re-traverses each tile's list
-  back-to-front, reconstructing T_before = T/(1-alpha) like the CUDA
-  backward, maintaining the suffix accumulator S = sum_{j>i} w_j dL/dw_j.
-  Geometry cotangents (through the ray-splat intersection) come from a
-  nested `jax.vjp` of the shared `_geom` closure inside the kernel, so the
-  hand-written part is only the sequential compositing chain. Per-entry
-  gradient rows are written race-free to the padded [F, M] layout and
-  scatter-added back to splats in XLA.
+  Backward (custom VJP, same grid): re-traverses each stream back-to-front
+  reconstructing T_before = T/(1-alpha) like the CUDA backward, with the
+  suffix accumulator S = sum_{j>i} w_j dL/dw_j. Geometry cotangents come
+  from a hand-derived VJP (shared forward intermediates, cross-product
+  transpose; validated against autodiff in tests). Entries invisible in
+  the whole group skip the heavy path. Per-entry gradient rows are written
+  race-free to the padded [M, 128] layout and scatter-added to splats.
 
 Distortion gradients use the pairwise identity
     dist = sum_{k<j} w_j w_k (m_j - m_k)^2
-so only the *totals* (A_n, M1_n, M2_n) are needed as residuals:
+so only the totals (A_n, M1_n, M2_n) are needed as residuals:
     d dist / d w_i = m_i^2 A_n + M2_n - 2 m_i M1_n
     d dist / d m_i = 2 w_i (m_i A_n - M1_n).
 """
@@ -53,19 +53,22 @@ from gaussmart_tpu.render.raster_common import (ALPHA_EPS, ALPHA_MAX,
                                                 T_EPS, Preprocessed,
                                                 mapped_depth)
 
-TILE = 32           # 32x32 pixels = one (8,128) vreg layout
+TILE = 16           # binning tile (one stream)
+GROUP = 32          # 2x2 tiles per grid program
+STREAMS = 4
 K = 128             # splat entries per DMA chunk
-F = 20              # blob feature rows (see _build_blob)
+F = 20              # blob feature columns (see _build_blob)
 F_PAD = 128         # lane-aligned (Mosaic requires 128-wide lane slices)
 CH = 13             # forward framebuffer channels
+FARNEAR = (100.0 * 0.2) / (100.0 - 0.2)  # d(mapped)/d(depth) numerator
 
 
 # ---------------------------------------------------------------------------
-# shared per-entry geometry (scalars -> (8,128) pixel fields)
+# per-entry geometry (shared math; scalars or broadcast fields -> pixels)
 # ---------------------------------------------------------------------------
 
 def _geom(scal, px, py):
-    """scal: [13] = (T9[9], cx, cy, sx, sy). Returns (rho, depth, gates)."""
+    """scal: [13] = (T9[9], cx, cy, sx, sy). Returns (rho, depth)."""
     b = [scal[i] for i in range(9)]
     cx, cy, sx, sy = scal[9], scal[10], scal[11], scal[12]
     pxe = px - sx
@@ -102,7 +105,8 @@ def _alpha_from(scal_geom, opacity, px, py):
 
 
 def _geom_fwd_res(scal, opacity, px, py):
-    """Forward geometry keeping the intermediates the manual VJP reuses."""
+    """Forward geometry keeping the intermediates the manual VJP reuses.
+    `scal` entries and `opacity` may be scalars or broadcast pixel fields."""
     b = [scal[i] for i in range(9)]
     cx, cy, sx, sy = scal[9], scal[10], scal[11], scal[12]
     pxe = px - sx
@@ -128,7 +132,7 @@ def _geom_fwd_res(scal, opacity, px, py):
     use3d = rho3d <= rho2d
     rho = jnp.minimum(rho3d, rho2d)
     depth = jnp.where(use3d, depth3d, b[8])
-    g = jnp.exp(-0.5 * jnp.where(degenerate & use3d, 0.0, rho))
+    g = jnp.exp(-0.5 * rho)
     a_raw = opacity * g
     alpha = jnp.minimum(ALPHA_MAX, a_raw)
     ok = (alpha >= ALPHA_EPS) & (depth >= NEAR_PLANE)
@@ -141,18 +145,12 @@ def _geom_fwd_res(scal, opacity, px, py):
 
 def _geom_manual_bwd(res, opacity, ca, cd):
     """Hand-derived cotangents of (alpha, depth) w.r.t. the 13 geometry
-    scalars + opacity. Returns ([13] per-pixel gradient FIELDS to reduce,
-    gop field). Validated against the autodiff oracle in tests.
-
-    Chain: alpha = min(.99, o*exp(-rho/2)) gated; rho/depth branch between
-    the ray-splat intersection (rho3d, depth3d) and the screen-space
-    low-pass (rho2d, center depth b8); p = k x l with k,l affine in the
-    scalars; (u,v) = (p_x, p_y)/p_z.
-    """
+    scalars + opacity. Returns ([13] per-pixel gradient FIELDS, gop field);
+    the caller reduces over each stream's pixels. Validated against the
+    autodiff oracle in tests/test_geom_vjp.py."""
     b = res["b"]
     live = res["live"].astype(jnp.float32)
     g = res["g"]
-    # alpha head
     gop_f = ca * g * live
     crho = ca * opacity * g * (-0.5) * live
     use3d = res["use3d"]
@@ -162,18 +160,15 @@ def _geom_manual_bwd(res, opacity, ca, cd):
     cdep3 = cd * u3
     cd_b8 = cd * (1.0 - u3)
 
-    # rho2d branch: rho2d = 2(dxc^2 + dyc^2); dxc = cx - px + sx
     f4x = 2.0 * FILTER_INV_SQUARE * res["dxc"] * crho2
     f4y = 2.0 * FILTER_INV_SQUARE * res["dyc"] * crho2
 
-    # rho3d / depth3d branch through (u, v)
     u, v, inv_pz = res["u"], res["v"], res["inv_pz"]
     cu = 2.0 * u * crho3 + b[2] * cdep3
     cv = 2.0 * v * crho3 + b[5] * cdep3
     cpx = cu * inv_pz
     cpy = cv * inv_pz
     cpz = -(u * cpx + v * cpy)
-    # p = k x l:  dk = l x cp ; dl = cp x k
     kx, ky, kz = res["kx"], res["ky"], res["kz"]
     lx, ly, lz = res["lx"], res["ly"], res["lz"]
     ckx = ly * cpz - lz * cpy
@@ -196,51 +191,86 @@ def _geom_manual_bwd(res, opacity, ca, cd):
     gb[8] = pxe * ckz + pye * clz + cdep3 + cd_b8
     gcx = f4x
     gcy = f4y
-    # sx enters via pxe (k-plane + dxc); d(pxe)/d(sx) = -1, d(dxc)/d(sx) = +1
     gsx = f4x - (ckx * b[2] + cky * b[5] + ckz * b[8])
     gsy = f4y - (clx * b[2] + cly * b[5] + clz * b[8])
     return gb + [gcx, gcy, gsx, gsy], gop_f
 
 
 def _reduce_rows(fields):
-    """Sum a list of (8,128) fields to scalars with one shared lane-tree:
-    sublane-reduce each field to (1,128), stack 8 at a time, lane-reduce."""
-    out = []
-    for i in range(0, len(fields), 8):
-        group = fields[i:i + 8]
-        rows = [jnp.sum(f, axis=0, keepdims=True) for f in group]
-        while len(rows) < 8:
-            rows.append(jnp.zeros((1, 128), jnp.float32))
-        packed = jnp.concatenate(rows, axis=0)          # (8,128)
-        sums = jnp.sum(packed, axis=1)                  # (8,)
-        out.extend(sums[j] for j in range(len(group)))
-    return out
+    """Sum (8,128) fields to full-group scalars (kept for tests/utility)."""
+    return [jnp.sum(f) for f in fields]
+
+
+# ---------------------------------------------------------------------------
+# group/stream geometry helpers
+# ---------------------------------------------------------------------------
+
+def _group_pixels(g, gx_count):
+    """Pixel coords of group g as (8,128) fields: 4 sub-tile streams, each
+    16x16 px in a 2-sublane band; p_local = (sublane%2)*128 + lane."""
+    gx = (g % gx_count).astype(jnp.float32)
+    gy = (g // gx_count).astype(jnp.float32)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    s = sub // 2
+    a = sub % 2
+    p_local = a * 128 + lane
+    px_local = (p_local % TILE).astype(jnp.float32)
+    py_local = (p_local // TILE).astype(jnp.float32)
+    i = (s % 2).astype(jnp.float32)
+    j = (s // 2).astype(jnp.float32)
+    px = gx * GROUP + i * TILE + px_local
+    py = gy * GROUP + j * TILE + py_local
+    return px, py, s
+
+
+def _bcast4(vals, stream_id):
+    """Broadcast 4 per-stream scalars into the (8,128) stream layout."""
+    x = jnp.where(stream_id < 1, vals[0], vals[1])
+    x = jnp.where(stream_id == 2, vals[2], x)
+    x = jnp.where(stream_id == 3, vals[3], x)
+    return x
+
+
+def _reduce4(field):
+    """Per-stream sums of an (8,128) field -> 4 scalars."""
+    lane_sum = jnp.sum(field, axis=1)          # (8,)
+    return [lane_sum[2 * s] + lane_sum[2 * s + 1] for s in range(STREAMS)]
+
+
+def _pack_row(vals):
+    """Pack F scalars into an (F_PAD,) row with masked selects (scalar
+    stores to VMEM are not lowerable)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, F_PAD), 1).reshape(F_PAD)
+    row = jnp.zeros((F_PAD,), jnp.float32)
+    for i, v in enumerate(vals):
+        row = jnp.where(lane == i, v, row)
+    return row
 
 
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _tile_pixels(t, tiles_x):
-    """Pixel coords of tile t as (8,128) f32 grids."""
-    tx = (t % tiles_x).astype(jnp.float32)
-    ty = (t // tiles_x).astype(jnp.float32)
-    a = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    bcol = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    p = a * 128 + bcol
-    px = (p % TILE).astype(jnp.float32) + tx * TILE
-    py = (p // TILE).astype(jnp.float32) + ty * TILE
-    return px, py
+def _stream_tiles(g, gx_count, tiles_x):
+    """16x16 tile ids of group g's 4 streams."""
+    gx = g % gx_count
+    gy = g // gx_count
+    return [(2 * gy + sj) * tiles_x + (2 * gx + si)
+            for sj in range(2) for si in range(2)]
 
 
-def _make_fwd_kernel(tiles_x: int):
+def _make_fwd_kernel(tiles_x: int, gx_count: int):
     def kernel(starts_ref, counts_ref, blob_ref, fb_ref, ints_ref,
                chunk, sems):
-        t = pl.program_id(0)
-        start = starts_ref[t]
-        count = counts_ref[t]
-        px, py = _tile_pixels(t, tiles_x)
-        n_chunks = pl.cdiv(count, K)
+        g = pl.program_id(0)
+        px, py, stream_id = _group_pixels(g, gx_count)
+        tids = _stream_tiles(g, gx_count, tiles_x)
+        starts = [starts_ref[t] for t in tids]
+        counts = [counts_ref[t] for t in tids]
+        chunks_s = [pl.cdiv(cn, K) for cn in counts]
+        n_chunks = functools.reduce(jnp.maximum, chunks_s)
+        count_f = _bcast4([c.astype(jnp.float32) for c in counts], stream_id)
 
         zero = jnp.zeros((8, 128), jnp.float32)
         izero = jnp.zeros((8, 128), jnp.int32)
@@ -250,14 +280,25 @@ def _make_fwd_kernel(tiles_x: int):
             N0=zero, N1=zero, N2=zero, med=zero, dist=zero,
             M1=zero, M2=zero, n_contrib=izero, med_e=izero - 1)
 
-        def get_dma(slot, c):
-            return pltpu.make_async_copy(
-                blob_ref.at[pl.ds(start + c * K, K), :],
-                chunk.at[slot], sems.at[slot])
+        def start_dmas(slot, c):
+            for s in range(STREAMS):
+                @pl.when(c < chunks_s[s])
+                def _(s=s):
+                    pltpu.make_async_copy(
+                        blob_ref.at[pl.ds(starts[s] + c * K, K), :],
+                        chunk.at[slot, s], sems.at[slot, s]).start()
+
+        def wait_dmas(slot, c):
+            for s in range(STREAMS):
+                @pl.when(c < chunks_s[s])
+                def _(s=s):
+                    pltpu.make_async_copy(
+                        blob_ref.at[pl.ds(starts[s] + c * K, K), :],
+                        chunk.at[slot, s], sems.at[slot, s]).wait()
 
         @pl.when(n_chunks > 0)
         def _():
-            get_dma(0, 0).start()
+            start_dmas(0, 0)
 
         def body(carry):
             c, st = carry
@@ -265,19 +306,25 @@ def _make_fwd_kernel(tiles_x: int):
 
             @pl.when(c + 1 < n_chunks)
             def _():
-                get_dma(jax.lax.rem(c + 1, 2), c + 1).start()
+                start_dmas(jax.lax.rem(c + 1, 2), c + 1)
 
-            get_dma(slot, c).wait()
+            wait_dmas(slot, c)
 
             def entry(e, st):
                 e_rel = c * K + e
-                col = chunk[slot, e, :]               # [F_PAD] row read
-                geomscal = col[0:13]
-                opacity = col[13]
-                alpha, depth = _alpha_from(geomscal, opacity, px, py)
-                # padding entries have opacity 0 -> alpha 0 everywhere
-                in_range = (e_rel < count).astype(jnp.float32)
-                alpha = alpha * in_range
+                cols = [chunk[slot, s, e, :] for s in range(STREAMS)]
+
+                def fld(i):
+                    return _bcast4([cols[s][i] for s in range(STREAMS)],
+                                   stream_id)
+
+                scal = [fld(i) for i in range(13)]
+                opacity = fld(13)
+                rho, depth = _geom(scal, px, py)
+                alpha = jnp.minimum(ALPHA_MAX, opacity * jnp.exp(-0.5 * rho))
+                ok = (alpha >= ALPHA_EPS) & (depth >= NEAR_PLANE)
+                in_range = jnp.float32(e_rel) < count_f
+                alpha = jnp.where(ok & in_range, alpha, 0.0)
 
                 T = st["T"]
                 alive = st["done"] == 0
@@ -287,7 +334,8 @@ def _make_fwd_kernel(tiles_x: int):
                 contrib = alive & has_a & (test_T >= T_EPS)
                 w = jnp.where(contrib, alpha * T, 0.0)
 
-                m = jnp.where(contrib, mapped_depth(jnp.where(contrib, depth, 1.0)), 0.0)
+                dsafe = jnp.where(contrib, depth, 1.0)
+                m = jnp.where(contrib, mapped_depth(dsafe), 0.0)
                 A_before = 1.0 - T
                 dsel = jnp.where(contrib, depth, 0.0)
 
@@ -299,12 +347,12 @@ def _make_fwd_kernel(tiles_x: int):
                 med_hit = contrib & (T > 0.5)
                 new["med"] = jnp.where(med_hit, dsel, st["med"])
                 new["med_e"] = jnp.where(med_hit, e_rel, st["med_e"])
-                new["C0"] = st["C0"] + w * col[14]
-                new["C1"] = st["C1"] + w * col[15]
-                new["C2"] = st["C2"] + w * col[16]
-                new["N0"] = st["N0"] + w * col[17]
-                new["N1"] = st["N1"] + w * col[18]
-                new["N2"] = st["N2"] + w * col[19]
+                new["C0"] = st["C0"] + w * fld(14)
+                new["C1"] = st["C1"] + w * fld(15)
+                new["C2"] = st["C2"] + w * fld(16)
+                new["N0"] = st["N0"] + w * fld(17)
+                new["N1"] = st["N1"] + w * fld(18)
+                new["N2"] = st["N2"] + w * fld(19)
                 new["D"] = st["D"] + w * dsel
                 new["A"] = st["A"] + w
                 new["T"] = jnp.where(contrib, test_T, T)
@@ -321,11 +369,11 @@ def _make_fwd_kernel(tiles_x: int):
 
         c_final, st = jax.lax.while_loop(cond, body, (jnp.int32(0), state0))
 
-        # Early exit leaves the prefetched chunk c_final in flight; a
-        # dangling DMA semaphore deadlocks the core at teardown — drain it.
+        # Early exit leaves prefetched chunks in flight; drain them (a
+        # dangling DMA semaphore deadlocks the core at teardown).
         @pl.when(c_final < n_chunks)
         def _():
-            get_dma(jax.lax.rem(c_final, 2), c_final).wait()
+            wait_dmas(jax.lax.rem(c_final, 2), c_final)
 
         names = ["C0", "C1", "C2", "D", "A", "N0", "N1", "N2", "med",
                  "dist", "T", "M1", "M2"]
@@ -341,78 +389,106 @@ def _make_fwd_kernel(tiles_x: int):
 # backward kernel
 # ---------------------------------------------------------------------------
 
-def _make_bwd_kernel(tiles_x: int):
+def _make_bwd_kernel(tiles_x: int, gx_count: int):
     def kernel(starts_ref, counts_ref, blob_ref, fb_ref, ints_ref, ct_ref,
-               grad_ref, chunk, gchunk, sems, gsem):
-        t = pl.program_id(0)
-        start = starts_ref[t]
-        count = counts_ref[t]
-        px, py = _tile_pixels(t, tiles_x)
-        n_chunks = pl.cdiv(count, K)
+               grad_ref, chunk, gchunk, sems, gsems):
+        g = pl.program_id(0)
+        px, py, stream_id = _group_pixels(g, gx_count)
+        tids = _stream_tiles(g, gx_count, tiles_x)
+        starts = [starts_ref[t] for t in tids]
+        counts = [counts_ref[t] for t in tids]
+        chunks_s = [pl.cdiv(cn, K) for cn in counts]
+        count_f = _bcast4([cn.astype(jnp.float32) for cn in counts], stream_id)
 
-        # residual totals + cotangents (per pixel)
         A_n = fb_ref[0, 4]
         M1_n = fb_ref[0, 11]
         M2_n = fb_ref[0, 12]
         T_final = fb_ref[0, 10]
         n_contrib = ints_ref[0, 0]
         med_e = ints_ref[0, 1]
-        # chunks past the last contributor carry zero gradient: skip their
-        # compute entirely (big win under heavy early termination)
-        n_rel_chunks = jnp.minimum(n_chunks,
-                                   pl.cdiv(jnp.max(n_contrib), K))
+        # per-stream last contributor -> processed chunk range
+        n_rel = [pl.cdiv(jnp.max(jnp.where(stream_id == s, n_contrib, 0)), K)
+                 for s in range(STREAMS)]
+        n_rel = [jnp.minimum(r, c) for r, c in zip(n_rel, chunks_s)]
+        start_c = functools.reduce(jnp.maximum, n_rel)
+
         dC = (ct_ref[0, 0], ct_ref[0, 1], ct_ref[0, 2])
         dD = ct_ref[0, 3]
         dA = ct_ref[0, 4]
         dN = (ct_ref[0, 5], ct_ref[0, 6], ct_ref[0, 7])
         dMed = ct_ref[0, 8]
         dDist = ct_ref[0, 9]
-        dT_n = ct_ref[0, 10]   # from the XLA-side bg blend + M1/M2 (zero)
+        dT_n = ct_ref[0, 10]
 
-        def get_dma(slot, c):
-            return pltpu.make_async_copy(
-                blob_ref.at[pl.ds(start + c * K, K), :],
-                chunk.at[slot], sems.at[slot])
+        def start_dmas(slot, c):
+            for s in range(STREAMS):
+                @pl.when(c < n_rel[s])
+                def _(s=s):
+                    pltpu.make_async_copy(
+                        blob_ref.at[pl.ds(starts[s] + c * K, K), :],
+                        chunk.at[slot, s], sems.at[slot, s]).start()
 
-        # zero-flush the skipped tail chunks [n_rel_chunks, n_chunks)
-        gchunk[...] = jnp.zeros((K, F_PAD), jnp.float32)
+        def wait_dmas(slot, c):
+            for s in range(STREAMS):
+                @pl.when(c < n_rel[s])
+                def _(s=s):
+                    pltpu.make_async_copy(
+                        blob_ref.at[pl.ds(starts[s] + c * K, K), :],
+                        chunk.at[slot, s], sems.at[slot, s]).wait()
+
+        # zero-flush grad rows for chunks the walk below never touches:
+        # stream s rows in [n_rel[s], chunks_s[s]) carry no gradient
+        gchunk[...] = jnp.zeros((STREAMS, K, F_PAD), jnp.float32)
+        max_chunks = functools.reduce(jnp.maximum, chunks_s)
 
         def flush_zero(c, _):
-            dma = pltpu.make_async_copy(
-                gchunk, grad_ref.at[pl.ds(start + c * K, K), :], gsem)
-            dma.start()
-            dma.wait()
+            for s in range(STREAMS):
+                @pl.when((c >= n_rel[s]) & (c < chunks_s[s]))
+                def _(s=s):
+                    dma = pltpu.make_async_copy(
+                        gchunk.at[s],
+                        grad_ref.at[pl.ds(starts[s] + c * K, K), :],
+                        gsems.at[s])
+                    dma.start()
+                    dma.wait()
             return 0
 
-        jax.lax.fori_loop(n_rel_chunks, n_chunks, flush_zero, 0)
+        jax.lax.fori_loop(0, max_chunks, flush_zero, 0)
 
-        @pl.when(n_rel_chunks > 0)
+        @pl.when(start_c > 0)
         def _():
-            get_dma(jax.lax.rem(n_rel_chunks - 1, 2), n_rel_chunks - 1).start()
+            start_dmas(jax.lax.rem(start_c - 1, 2), start_c - 1)
 
         def body(carry):
-            c, T_cur, S = carry          # c runs n_rel_chunks-1 .. 0
+            c, T_cur, S = carry          # c runs start_c-1 .. 0
             slot = jax.lax.rem(c, 2)
 
             @pl.when(c > 0)
             def _():
-                get_dma(jax.lax.rem(c - 1, 2), c - 1).start()
+                start_dmas(jax.lax.rem(c - 1, 2), c - 1)
 
-            get_dma(slot, c).wait()
+            wait_dmas(slot, c)
 
             def entry(j, carry2):
                 e = K - 1 - j            # reverse within chunk
                 T_cur, S = carry2
                 e_rel = c * K + e
-                col = chunk[slot, e, :]
-                geomscal = col[0:13]
-                opacity = col[13]
-                color = (col[14], col[15], col[16])
-                normal = (col[17], col[18], col[19])
+                cols = [chunk[slot, s, e, :] for s in range(STREAMS)]
 
-                # forward geometry once; intermediates feed the manual VJP
-                res = _geom_fwd_res(geomscal, opacity, px, py)
+                def fld(i):
+                    return _bcast4([cols[s][i] for s in range(STREAMS)],
+                                   stream_id)
+
+                scal = [fld(i) for i in range(13)]
+                opacity = fld(13)
+                color = (fld(14), fld(15), fld(16))
+                normal = (fld(17), fld(18), fld(19))
+
+                res = _geom_fwd_res(scal, opacity, px, py)
                 alpha, depth = res["alpha"], res["depth"]
+                in_range = jnp.float32(e_rel) < count_f
+                alpha = jnp.where(in_range, alpha, 0.0)
+
                 contrib = (e_rel < n_contrib) & (alpha > 0)
                 is_med = med_e == e_rel
                 alpha_c = jnp.where(contrib, alpha, 0.0)
@@ -421,15 +497,12 @@ def _make_bwd_kernel(tiles_x: int):
 
                 dsafe = jnp.where(contrib, depth, 1.0)
                 m = jnp.where(contrib, mapped_depth(dsafe), 0.0)
-                # dL/dw_i over all channels (+ pairwise distortion identity)
                 dLdw = (color[0] * dC[0] + color[1] * dC[1] + color[2] * dC[2]
                         + depth * dD + dA
                         + normal[0] * dN[0] + normal[1] * dN[1]
                         + normal[2] * dN[2]
                         + (m * m * A_n + M2_n - 2.0 * m * M1_n) * dDist)
 
-                # the geometry VJP + 20 pixel reductions are ~4x the light
-                # pass; run them only when this entry touches any pixel here
                 active = jnp.sum((contrib | is_med).astype(jnp.float32)) > 0
 
                 @pl.when(active)
@@ -439,8 +512,6 @@ def _make_bwd_kernel(tiles_x: int):
                         contrib,
                         T_before * dLdw - (S + T_final * dT_n) / one_m_a,
                         0.0)
-                    # depth cotangent: expected-depth channel + distortion
-                    # chain + median routing
                     dm_dd = FARNEAR / jnp.square(dsafe)
                     dLdd = (w * dD
                             + dDist * 2.0 * w * (m * A_n - M1_n) * dm_dd
@@ -449,33 +520,33 @@ def _make_bwd_kernel(tiles_x: int):
 
                     gfields, gop_f = _geom_manual_bwd(res, opacity,
                                                       dLdalpha, dLdd)
-                    vals = _reduce_rows(
-                        gfields + [gop_f]
-                        + [w * dC[ci] for ci in range(3)]
-                        + [w * dN[ci] for ci in range(3)])
-                    # pack scalars into one row with masked selects (scalar
-                    # stores to VMEM are not lowerable)
-                    lane = jax.lax.broadcasted_iota(
-                        jnp.int32, (1, F_PAD), 1).reshape(F_PAD)
-                    row = jnp.zeros((F_PAD,), jnp.float32)
-                    for i, v in enumerate(vals):
-                        row = jnp.where(lane == i, v, row)
-                    gchunk[e, :] = row
+                    fields = (gfields + [gop_f]
+                              + [w * dC[ci] for ci in range(3)]
+                              + [w * dN[ci] for ci in range(3)])
+                    per_stream = [_reduce4(f) for f in fields]  # [F][4]
+                    for s in range(STREAMS):
+                        row = _pack_row([per_stream[i][s] for i in range(F)])
+                        gchunk[s, e, :] = row
 
                 @pl.when(jnp.logical_not(active))
                 def _():
-                    gchunk[e, :] = jnp.zeros((F_PAD,), jnp.float32)
+                    for s in range(STREAMS):
+                        gchunk[s, e, :] = jnp.zeros((F_PAD,), jnp.float32)
 
                 S = S + jnp.where(contrib, w * dLdw, 0.0)
                 return T_before, S
 
             T_cur, S = jax.lax.fori_loop(0, K, entry, (T_cur, S))
 
-            # flush gradient chunk to HBM
-            out_dma = pltpu.make_async_copy(
-                gchunk, grad_ref.at[pl.ds(start + c * K, K), :], gsem)
-            out_dma.start()
-            out_dma.wait()
+            for s in range(STREAMS):
+                @pl.when(c < n_rel[s])
+                def _(s=s):
+                    dma = pltpu.make_async_copy(
+                        gchunk.at[s],
+                        grad_ref.at[pl.ds(starts[s] + c * K, K), :],
+                        gsems.at[s])
+                    dma.start()
+                    dma.wait()
             return c - 1, T_cur, S
 
         def cond(carry):
@@ -484,12 +555,9 @@ def _make_bwd_kernel(tiles_x: int):
 
         jax.lax.while_loop(
             cond, lambda carry: body((carry[0], carry[1], carry[2])),
-            (n_rel_chunks - 1, T_final, jnp.zeros((8, 128), jnp.float32)))
+            (start_c - 1, T_final, jnp.zeros((8, 128), jnp.float32)))
 
     return kernel
-
-
-FARNEAR = (100.0 * 0.2) / (100.0 - 0.2)  # d(mapped)/d(depth) numerator
 
 
 # ---------------------------------------------------------------------------
@@ -497,7 +565,7 @@ FARNEAR = (100.0 * 0.2) / (100.0 - 0.2)  # d(mapped)/d(depth) numerator
 # ---------------------------------------------------------------------------
 
 def _build_blob(prep: Preprocessed, means2d, half_wh):
-    """[F, N+1] feature blob (last column = zero dummy for padding)."""
+    """[N+1, F] feature blob (last row = zero dummy for padding)."""
     shift = means2d * half_wh[None, :]
     rows = [prep.T.reshape(-1, 9)[:, i] for i in range(9)]
     rows += [prep.center2d[:, 0], prep.center2d[:, 1],
@@ -508,8 +576,13 @@ def _build_blob(prep: Preprocessed, means2d, half_wh):
     return jnp.pad(blob, ((0, 1), (0, 0)))
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int):
-    """Duplicate-expand, sort by (tile, depth), K-align per-tile ranges.
+    """Duplicate-expand over 16x16 tiles, compact, sort by packed
+    (tile|depth) key, K-align per-tile ranges.
 
     Returns (padded_idx [M_pad] int32 splat indices (N = dummy),
              starts [n_tiles], counts [n_tiles], n_dropped)."""
@@ -535,11 +608,11 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int):
             + (tx0[:, None] + j % nx_safe))
     tile = jnp.where(dup_valid, tile, n_tiles)
 
-    sidx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None], tile.shape)
+    sidx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None],
+                            tile.shape)
 
-    # Pack (tile, quantized depth) into ONE int32 sort key: a single-key
-    # sort is ~2x the two-key lax.sort, and depth order only matters
-    # *within* a tile, where >=15 quantization bits are far below any
+    # Pack (tile, quantized depth) into ONE int32 sort key: depth order
+    # only matters within a tile, where the quantization is far below any
     # visible reordering threshold.
     bits_tile = max(1, int(np.ceil(np.log2(n_tiles + 2))))
     db = 30 - bits_tile
@@ -556,9 +629,8 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int):
 
     # Compact valid duplicates BEFORE the sort (nonzero = one cumsum +
     # scatter): typical scenes fill <15% of the N*max_dup slots, and the
-    # comparison sort is the dominant binning cost, so sorting only a tight
-    # work budget is a ~5x win. Overflow beyond the budget is dropped and
-    # counted (like the per-splat budget).
+    # comparison sort is the dominant binning cost. Overflow beyond the
+    # budget is dropped and counted.
     flat_valid = dup_valid.reshape(-1)
     M_work = _round_up(max(3 * N, 4096), K)
     n_valid = flat_valid.sum()
@@ -584,17 +656,13 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int):
                               jnp.cumsum(padded_counts)[:-1].astype(jnp.int32)])
 
     M_pad = _round_up(M_work + n_tiles * K, K)
-    # destination position of each sorted entry
     rank = (jnp.arange(M_work, dtype=jnp.int32)
             - starts_raw[jnp.clip(tile_s, 0, n_tiles - 1)])
     dest = jnp.where(tile_s < n_tiles,
                      starts[jnp.clip(tile_s, 0, n_tiles - 1)] + rank, M_pad)
-    padded_idx = jnp.full((M_pad,), N, jnp.int32).at[dest].set(sidx_s, mode="drop")
+    padded_idx = jnp.full((M_pad,), N, jnp.int32).at[dest].set(sidx_s,
+                                                               mode="drop")
     return padded_idx, starts, counts, n_dropped
-
-
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
 
 
 # ---------------------------------------------------------------------------
@@ -611,12 +679,13 @@ def _raster_core(blob, padded_idx, starts, counts, tiles_x, tiles_y,
 
 def _core_fwd_impl(blob, padded_idx, starts, counts, tiles_x, tiles_y,
                    interpret):
-    n_tiles = tiles_x * tiles_y
-    pblob = jnp.pad(blob, ((0, 0), (0, F_PAD - F)))[padded_idx]  # [M_pad, F_PAD]
-    kernel = _make_fwd_kernel(tiles_x)
+    gx_count = tiles_x // 2
+    n_groups = gx_count * (tiles_y // 2)
+    pblob = jnp.pad(blob, ((0, 0), (0, F_PAD - F)))[padded_idx]  # [M_pad,F_PAD]
+    kernel = _make_fwd_kernel(tiles_x, gx_count)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_tiles,),
+        grid=(n_groups,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[
             pl.BlockSpec((1, CH, 8, 128), lambda t, *_: (t, 0, 0, 0),
@@ -625,16 +694,16 @@ def _core_fwd_impl(blob, padded_idx, starts, counts, tiles_x, tiles_y,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, K, F_PAD), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, STREAMS, K, F_PAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, STREAMS)),
         ],
     )
     fb, ints = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, CH, 8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 2, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_groups, CH, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups, 2, 8, 128), jnp.int32),
         ),
         interpret=interpret,
     )(starts, counts, pblob)
@@ -649,21 +718,17 @@ def _core_fwd(blob, padded_idx, starts, counts, tiles_x, tiles_y, interpret):
 
 def _core_bwd(tiles_x, tiles_y, interpret, res, ct_fb):
     Np1, padded_idx, starts, counts, fb, ints, pblob = res
-    n_tiles = tiles_x * tiles_y
+    gx_count = tiles_x // 2
+    n_groups = gx_count * (tiles_y // 2)
     M_pad = padded_idx.shape[0]
 
-    # cotangent channels the kernel consumes: [dC3, dD, dA, dN3, dMed,
-    # dDist, dT] = 11, padded to CH for a uniform block.
-    ct = jnp.stack([
-        ct_fb[:, 0], ct_fb[:, 1], ct_fb[:, 2], ct_fb[:, 3], ct_fb[:, 4],
-        ct_fb[:, 5], ct_fb[:, 6], ct_fb[:, 7], ct_fb[:, 8], ct_fb[:, 9],
-        ct_fb[:, 10]], axis=1)
+    ct = jnp.stack([ct_fb[:, i] for i in range(11)], axis=1)
     ct = jnp.pad(ct, ((0, 0), (0, CH - 11), (0, 0), (0, 0)))
 
-    kernel = _make_bwd_kernel(tiles_x)
+    kernel = _make_bwd_kernel(tiles_x, gx_count)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_tiles,),
+        grid=(n_groups,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec((1, CH, 8, 128), lambda t, *_: (t, 0, 0, 0),
@@ -675,10 +740,10 @@ def _core_bwd(tiles_x, tiles_y, interpret, res, ct_fb):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, K, F_PAD), jnp.float32),
-            pltpu.VMEM((K, F_PAD), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, STREAMS, K, F_PAD), jnp.float32),
+            pltpu.VMEM((STREAMS, K, F_PAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, STREAMS)),
+            pltpu.SemaphoreType.DMA((STREAMS,)),
         ],
     )
     grad_padded = pl.pallas_call(
@@ -690,7 +755,6 @@ def _core_bwd(tiles_x, tiles_y, interpret, res, ct_fb):
 
     grad_blob = jnp.zeros((Np1, F), jnp.float32).at[padded_idx].add(
         grad_padded[:, :F], mode="drop")
-    # dummy row N absorbs padding grads; zero it
     grad_blob = grad_blob.at[Np1 - 1].set(0.0)
     return grad_blob, None, None, None
 
@@ -703,11 +767,14 @@ _raster_core.defvjp(_core_fwd, _core_bwd)
 # ---------------------------------------------------------------------------
 
 def _fb_to_maps(fb, tiles_x, tiles_y):
-    """[n_tiles, CH, 8, 128] -> [CH, H_pad, W_pad]."""
-    fb = fb.reshape(tiles_y, tiles_x, CH, 8, 4, TILE)
-    # pixel p = a*128 + b; py_local = a*4 + b//32; px_local = b%32
-    fb = jnp.transpose(fb, (2, 0, 3, 4, 1, 5))
-    return fb.reshape(CH, tiles_y * TILE, tiles_x * TILE)
+    """[n_groups, CH, 8, 128] -> [CH, H_pad, W_pad] for the 4-stream
+    layout: sublanes (j,i,a), lanes (b1, px); y = 32gy+16j+8a+b1, x =
+    32gx+16i+px."""
+    gxc = tiles_x // 2
+    gyc = tiles_y // 2
+    fb = fb.reshape(gyc, gxc, CH, 2, 2, 2, 8, TILE)   # gy,gx,ch,j,i,a,b1,px
+    fb = jnp.transpose(fb, (2, 0, 3, 5, 6, 1, 4, 7))  # ch,gy,j,a,b1,gx,i,px
+    return fb.reshape(CH, gyc * GROUP, gxc * GROUP)
 
 
 def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
@@ -715,8 +782,10 @@ def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
                     ) -> Dict[str, jnp.ndarray]:
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    tiles_x = -(-width // TILE)
-    tiles_y = -(-height // TILE)
+    gx_count = -(-width // GROUP)
+    gy_count = -(-height // GROUP)
+    tiles_x = 2 * gx_count
+    tiles_y = 2 * gy_count
     half_wh = jnp.array([0.5 * width, 0.5 * height], jnp.float32)
 
     blob = _build_blob(prep, means2d, half_wh)
