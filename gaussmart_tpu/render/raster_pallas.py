@@ -270,6 +270,7 @@ def _make_fwd_kernel(tiles_x: int, gx_count: int):
         counts = [counts_ref[t] for t in tids]
         chunks_s = [pl.cdiv(cn, K) for cn in counts]
         n_chunks = functools.reduce(jnp.maximum, chunks_s)
+        max_count = functools.reduce(jnp.maximum, counts)
         count_f = _bcast4([c.astype(jnp.float32) for c in counts], stream_id)
 
         zero = jnp.zeros((8, 128), jnp.float32)
@@ -360,7 +361,10 @@ def _make_fwd_kernel(tiles_x: int, gx_count: int):
                 new["n_contrib"] = jnp.where(contrib, e_rel + 1, st["n_contrib"])
                 return new
 
-            st = jax.lax.fori_loop(0, K, entry, st)
+            # only walk up to the longest stream's remaining entries —
+            # per-stream lists are usually much shorter than K
+            bound = jnp.clip(max_count - c * K, 0, K)
+            st = jax.lax.fori_loop(0, bound, entry, st)
             return c + 1, st
 
         def cond(carry):
@@ -407,10 +411,11 @@ def _make_bwd_kernel(tiles_x: int, gx_count: int):
         n_contrib = ints_ref[0, 0]
         med_e = ints_ref[0, 1]
         # per-stream last contributor -> processed chunk range
-        n_rel = [pl.cdiv(jnp.max(jnp.where(stream_id == s, n_contrib, 0)), K)
-                 for s in range(STREAMS)]
-        n_rel = [jnp.minimum(r, c) for r, c in zip(n_rel, chunks_s)]
+        needed = [jnp.minimum(jnp.max(jnp.where(stream_id == s, n_contrib, 0)),
+                              counts[s]) for s in range(STREAMS)]
+        n_rel = [pl.cdiv(nd, K) for nd in needed]
         start_c = functools.reduce(jnp.maximum, n_rel)
+        max_needed = functools.reduce(jnp.maximum, needed)
 
         dC = (ct_ref[0, 0], ct_ref[0, 1], ct_ref[0, 2])
         dD = ct_ref[0, 3]
@@ -468,6 +473,8 @@ def _make_bwd_kernel(tiles_x: int, gx_count: int):
                 start_dmas(jax.lax.rem(c - 1, 2), c - 1)
 
             wait_dmas(slot, c)
+
+            bound = jnp.clip(max_needed - c * K, 0, K)
 
             def entry(j, carry2):
                 e = K - 1 - j            # reverse within chunk
@@ -536,7 +543,7 @@ def _make_bwd_kernel(tiles_x: int, gx_count: int):
                 S = S + jnp.where(contrib, w * dLdw, 0.0)
                 return T_before, S
 
-            T_cur, S = jax.lax.fori_loop(0, K, entry, (T_cur, S))
+            T_cur, S = jax.lax.fori_loop(K - bound, K, entry, (T_cur, S))
 
             for s in range(STREAMS):
                 @pl.when(c < n_rel[s])
