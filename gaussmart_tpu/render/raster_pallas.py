@@ -205,23 +205,21 @@ def _reduce_rows(fields):
 # group/stream geometry helpers
 # ---------------------------------------------------------------------------
 
-def _group_pixels(g, gx_count):
-    """Pixel coords of group g as (8,128) fields: 4 sub-tile streams, each
-    16x16 px in a 2-sublane band; p_local = (sublane%2)*128 + lane."""
-    gx = (g % gx_count).astype(jnp.float32)
-    gy = (g // gx_count).astype(jnp.float32)
+def _stream_pixels(tids, tiles_x):
+    """Pixel coords for 4 arbitrary 16x16 tiles (one per 2-sublane band);
+    p_local = (sublane%2)*128 + lane."""
     sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    s = sub // 2
+    stream_id = sub // 2
     a = sub % 2
     p_local = a * 128 + lane
     px_local = (p_local % TILE).astype(jnp.float32)
     py_local = (p_local // TILE).astype(jnp.float32)
-    i = (s % 2).astype(jnp.float32)
-    j = (s // 2).astype(jnp.float32)
-    px = gx * GROUP + i * TILE + px_local
-    py = gy * GROUP + j * TILE + py_local
-    return px, py, s
+    ox = _bcast4([(t % tiles_x).astype(jnp.float32) * TILE for t in tids],
+                 stream_id)
+    oy = _bcast4([(t // tiles_x).astype(jnp.float32) * TILE for t in tids],
+                 stream_id)
+    return ox + px_local, oy + py_local, stream_id
 
 
 def _bcast4(vals, stream_id):
@@ -252,20 +250,14 @@ def _pack_row(vals):
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _stream_tiles(g, gx_count, tiles_x):
-    """16x16 tile ids of group g's 4 streams."""
-    gx = g % gx_count
-    gy = g // gx_count
-    return [(2 * gy + sj) * tiles_x + (2 * gx + si)
-            for sj in range(2) for si in range(2)]
 
 
-def _make_fwd_kernel(tiles_x: int, gx_count: int):
-    def kernel(starts_ref, counts_ref, blob_ref, fb_ref, ints_ref,
+def _make_fwd_kernel(tiles_x: int):
+    def kernel(starts_ref, counts_ref, order_ref, blob_ref, fb_ref, ints_ref,
                chunk, sems):
         g = pl.program_id(0)
-        px, py, stream_id = _group_pixels(g, gx_count)
-        tids = _stream_tiles(g, gx_count, tiles_x)
+        tids = [order_ref[STREAMS * g + s] for s in range(STREAMS)]
+        px, py, stream_id = _stream_pixels(tids, tiles_x)
         starts = [starts_ref[t] for t in tids]
         counts = [counts_ref[t] for t in tids]
         chunks_s = [pl.cdiv(cn, K) for cn in counts]
@@ -393,12 +385,12 @@ def _make_fwd_kernel(tiles_x: int, gx_count: int):
 # backward kernel
 # ---------------------------------------------------------------------------
 
-def _make_bwd_kernel(tiles_x: int, gx_count: int):
-    def kernel(starts_ref, counts_ref, blob_ref, fb_ref, ints_ref, ct_ref,
-               grad_ref, chunk, gchunk, sems, gsems):
+def _make_bwd_kernel(tiles_x: int):
+    def kernel(starts_ref, counts_ref, order_ref, blob_ref, fb_ref, ints_ref,
+               ct_ref, grad_ref, chunk, gchunk, sems, gsems):
         g = pl.program_id(0)
-        px, py, stream_id = _group_pixels(g, gx_count)
-        tids = _stream_tiles(g, gx_count, tiles_x)
+        tids = [order_ref[STREAMS * g + s] for s in range(STREAMS)]
+        px, py, stream_id = _stream_pixels(tids, tiles_x)
         starts = [starts_ref[t] for t in tids]
         counts = [counts_ref[t] for t in tids]
         chunks_s = [pl.cdiv(cn, K) for cn in counts]
@@ -669,29 +661,33 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int):
                      starts[jnp.clip(tile_s, 0, n_tiles - 1)] + rank, M_pad)
     padded_idx = jnp.full((M_pad,), N, jnp.int32).at[dest].set(sidx_s,
                                                                mode="drop")
-    return padded_idx, starts, counts, n_dropped
+    # Load-balanced stream packing: programs own 4 tiles of SIMILAR entry
+    # count (sorted consecutive grouping), so the per-program step count
+    # (max over its streams) stays close to the mean instead of the max of
+    # a random spatial 2x2 block.
+    order = jnp.argsort(-counts).astype(jnp.int32)
+    return padded_idx, starts, counts, order, n_dropped
 
 
 # ---------------------------------------------------------------------------
 # custom-VJP core
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _raster_core(blob, padded_idx, starts, counts, tiles_x, tiles_y,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _raster_core(blob, padded_idx, starts, counts, order, tiles_x, tiles_y,
                  interpret):
-    fb, ints, _ = _core_fwd_impl(blob, padded_idx, starts, counts, tiles_x,
-                                 tiles_y, interpret)
+    fb, ints, _ = _core_fwd_impl(blob, padded_idx, starts, counts, order,
+                                 tiles_x, tiles_y, interpret)
     return fb
 
 
-def _core_fwd_impl(blob, padded_idx, starts, counts, tiles_x, tiles_y,
-                   interpret):
-    gx_count = tiles_x // 2
-    n_groups = gx_count * (tiles_y // 2)
+def _core_fwd_impl(blob, padded_idx, starts, counts, order, tiles_x,
+                   tiles_y, interpret):
+    n_groups = (tiles_x * tiles_y) // STREAMS
     pblob = jnp.pad(blob, ((0, 0), (0, F_PAD - F)))[padded_idx]  # [M_pad,F_PAD]
-    kernel = _make_fwd_kernel(tiles_x, gx_count)
+    kernel = _make_fwd_kernel(tiles_x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_groups,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[
@@ -713,28 +709,29 @@ def _core_fwd_impl(blob, padded_idx, starts, counts, tiles_x, tiles_y,
             jax.ShapeDtypeStruct((n_groups, 2, 8, 128), jnp.int32),
         ),
         interpret=interpret,
-    )(starts, counts, pblob)
+    )(starts, counts, order, pblob)
     return fb, ints, pblob
 
 
-def _core_fwd(blob, padded_idx, starts, counts, tiles_x, tiles_y, interpret):
-    fb, ints, pblob = _core_fwd_impl(blob, padded_idx, starts, counts,
+def _core_fwd(blob, padded_idx, starts, counts, order, tiles_x, tiles_y,
+              interpret):
+    fb, ints, pblob = _core_fwd_impl(blob, padded_idx, starts, counts, order,
                                      tiles_x, tiles_y, interpret)
-    return fb, (blob.shape[0], padded_idx, starts, counts, fb, ints, pblob)
+    return fb, (blob.shape[0], padded_idx, starts, counts, order, fb, ints,
+                pblob)
 
 
 def _core_bwd(tiles_x, tiles_y, interpret, res, ct_fb):
-    Np1, padded_idx, starts, counts, fb, ints, pblob = res
-    gx_count = tiles_x // 2
-    n_groups = gx_count * (tiles_y // 2)
+    Np1, padded_idx, starts, counts, order, fb, ints, pblob = res
+    n_groups = (tiles_x * tiles_y) // STREAMS
     M_pad = padded_idx.shape[0]
 
     ct = jnp.stack([ct_fb[:, i] for i in range(11)], axis=1)
     ct = jnp.pad(ct, ((0, 0), (0, CH - 11), (0, 0), (0, 0)))
 
-    kernel = _make_bwd_kernel(tiles_x, gx_count)
+    kernel = _make_bwd_kernel(tiles_x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_groups,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -758,12 +755,12 @@ def _core_bwd(tiles_x, tiles_y, interpret, res, ct_fb):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M_pad, F_PAD), jnp.float32),
         interpret=interpret,
-    )(starts, counts, pblob, fb, ints, ct)
+    )(starts, counts, order, pblob, fb, ints, ct)
 
     grad_blob = jnp.zeros((Np1, F), jnp.float32).at[padded_idx].add(
         grad_padded[:, :F], mode="drop")
     grad_blob = grad_blob.at[Np1 - 1].set(0.0)
-    return grad_blob, None, None, None
+    return grad_blob, None, None, None, None
 
 
 _raster_core.defvjp(_core_fwd, _core_bwd)
@@ -773,15 +770,19 @@ _raster_core.defvjp(_core_fwd, _core_bwd)
 # public entry
 # ---------------------------------------------------------------------------
 
-def _fb_to_maps(fb, tiles_x, tiles_y):
-    """[n_groups, CH, 8, 128] -> [CH, H_pad, W_pad] for the 4-stream
-    layout: sublanes (j,i,a), lanes (b1, px); y = 32gy+16j+8a+b1, x =
-    32gx+16i+px."""
-    gxc = tiles_x // 2
-    gyc = tiles_y // 2
-    fb = fb.reshape(gyc, gxc, CH, 2, 2, 2, 8, TILE)   # gy,gx,ch,j,i,a,b1,px
-    fb = jnp.transpose(fb, (2, 0, 3, 5, 6, 1, 4, 7))  # ch,gy,j,a,b1,gx,i,px
-    return fb.reshape(CH, gyc * GROUP, gxc * GROUP)
+def _fb_to_maps(fb, order, tiles_x, tiles_y):
+    """[n_groups, CH, 8, 128] -> [CH, H_pad, W_pad]: tile t lives in program
+    rank(t)//4, sublane band rank(t)%4; band pixels p=(a*128+lane) map to
+    (y_local = a*8 + lane//16, x_local = lane%16)."""
+    n_tiles = tiles_x * tiles_y
+    rank = jnp.argsort(order)                         # tile -> rank
+    prog = rank // STREAMS
+    band = rank % STREAMS
+    fbb = fb.reshape(-1, CH, STREAMS, 2, 8, TILE)     # prog,ch,band,a,b1,px
+    tile_blocks = fbb[prog, :, band]                  # [n_tiles,CH,2,8,16]
+    tb = tile_blocks.reshape(tiles_y, tiles_x, CH, 2, 8, TILE)
+    tb = jnp.transpose(tb, (2, 0, 3, 4, 1, 5))        # ch,ty,a,b1,tx,px
+    return tb.reshape(CH, tiles_y * TILE, tiles_x * TILE)
 
 
 def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
@@ -796,12 +797,12 @@ def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
     half_wh = jnp.array([0.5 * width, 0.5 * height], jnp.float32)
 
     blob = _build_blob(prep, means2d, half_wh)
-    padded_idx, starts, counts, _ = jax.lax.stop_gradient(
+    padded_idx, starts, counts, order, _ = jax.lax.stop_gradient(
         _binning(prep, tiles_x, tiles_y, max_dup))
 
-    fb = _raster_core(blob, padded_idx, starts, counts, tiles_x, tiles_y,
-                      interpret)
-    maps = _fb_to_maps(fb, tiles_x, tiles_y)[:, :height, :width]
+    fb = _raster_core(blob, padded_idx, starts, counts, order, tiles_x,
+                      tiles_y, interpret)
+    maps = _fb_to_maps(fb, order, tiles_x, tiles_y)[:, :height, :width]
 
     image = maps[0:3] + maps[10][None] * bg[:, None, None]
     allmap = jnp.stack([maps[3], maps[4], maps[5], maps[6], maps[7],
