@@ -56,7 +56,7 @@ from gaussmart_tpu.render.raster_common import (ALPHA_EPS, ALPHA_MAX,
 TILE = 16           # binning tile (one stream)
 GROUP = 32          # 2x2 tiles per grid program
 STREAMS = 4
-K = 128             # splat entries per DMA chunk
+K = 64              # splat entries per DMA chunk
 F = 20              # blob feature columns (see _build_blob)
 F_PAD = 128         # lane-aligned (Mosaic requires 128-wide lane slices)
 CH = 13             # forward framebuffer channels
