@@ -20,8 +20,10 @@ def mse(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
 
 
 def psnr(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
-    """PSNR per image, assuming range [0, 1] (image_utils.py:19-21)."""
-    m = mse(img1, img2)
+    """PSNR per image, assuming range [0, 1] (image_utils.py:19-21).
+    MSE is floored at 1e-10 (100 dB cap) so identical views don't poison
+    averaged reports with inf."""
+    m = jnp.maximum(mse(img1, img2), 1e-10)
     return 20.0 * jnp.log10(1.0 / jnp.sqrt(m))
 
 
