@@ -7,7 +7,8 @@ splats at 777x582 would be the full target; the benchmark scales within the
 available chip. `vs_baseline` is measured against the north-star rate of
 30k iterations in 30 minutes (16.67 it/s, BASELINE.md "Rebuild targets").
 
-Env overrides: BENCH_SPLATS, BENCH_W, BENCH_H, BENCH_ITERS, BENCH_BACKEND.
+Env overrides: BENCH_SPLATS, BENCH_W, BENCH_H, BENCH_ITERS, BENCH_BACKEND,
+BENCH_MODE=train|render (render reports forward FPS vs a 30 FPS baseline).
 """
 from __future__ import annotations
 
@@ -68,6 +69,10 @@ def main():
     gts = [jnp.asarray(rng.random((3, height, width)), jnp.float32)
            for _ in cams]
 
+    if os.environ.get("BENCH_MODE", "train") == "render":
+        _bench_render(state, cam_params, width, height, iters, backend)
+        return
+
     opt = OptimizationParams()
     step = make_train_step(opt, sh_degree=3, white_background=False,
                            backend=backend, spatial_lr_scale=1.0,
@@ -93,6 +98,36 @@ def main():
         "value": round(ips, 3),
         "unit": "iters/s",
         "vs_baseline": round(ips / NORTH_STAR_ITERS_PER_SEC, 4),
+    }))
+
+
+def _bench_render(state, cam_params, width, height, iters, backend):
+    """Forward-render FPS (novel-view serving), vs a 30 FPS baseline."""
+    import jax
+    import jax.numpy as jnp
+    from gaussmart_tpu.render.api import render
+
+    fn = jax.jit(lambda cam, sc: render(
+        cam, state.replace(params=__import__("dataclasses").replace(
+            state.params, scaling=state.params.scaling + 0 * sc)),
+        jnp.zeros(3), backend=backend)["render"])
+    img = fn(cam_params[0], jnp.float32(0))
+    jax.block_until_ready(img)
+    t0 = time.perf_counter()
+    acc = None
+    for i in range(iters):
+        # feed a data dependency through so no step can be elided
+        sc = (0.0 if acc is None else acc * 0.0)
+        img = fn(cam_params[i % 4], sc)
+        acc = img[0, 0, 0]
+    jax.block_until_ready(img)
+    fps = iters / (time.perf_counter() - t0)
+    n = state.capacity
+    print(json.dumps({
+        "metric": f"render_fps_{n//1000}k_splats_{width}x{height}",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 30.0, 4),
     }))
 
 
