@@ -80,15 +80,16 @@ def main():
 
     params, adam, aux = state.params, init_adam(state.params), state.aux
     # warmup / compile
-    params, adam, aux, m = step(params, adam, aux, cam_params[0], gts[0],
-                                jnp.asarray(1, jnp.int32))
+    it_dev = jnp.asarray(1, jnp.int32)
+    params, adam, aux, m, it_dev = step(params, adam, aux, cam_params[0],
+                                        gts[0], it_dev)
     jax.block_until_ready(params.xyz)
 
     t0 = time.perf_counter()
     for it in range(2, iters + 2):
-        params, adam, aux, m = step(params, adam, aux,
-                                    cam_params[it % 4], gts[it % 4],
-                                    jnp.asarray(it, jnp.int32))
+        params, adam, aux, m, it_dev = step(params, adam, aux,
+                                            cam_params[it % 4], gts[it % 4],
+                                            it_dev)
     jax.block_until_ready(params.xyz)
     dt = time.perf_counter() - t0
     ips = iters / dt
@@ -107,19 +108,21 @@ def _bench_render(state, cam_params, width, height, iters, backend):
     import jax.numpy as jnp
     from gaussmart_tpu.render.api import render
 
-    fn = jax.jit(lambda cam, sc: render(
-        cam, state.replace(params=__import__("dataclasses").replace(
-            state.params, scaling=state.params.scaling + 0 * sc)),
-        jnp.zeros(3), backend=backend)["render"])
-    img = fn(cam_params[0], jnp.float32(0))
+    import dataclasses as _dc
+
+    def frame(cam, prev):
+        # data dependency on the previous frame lives INSIDE the jit so no
+        # eager ops round-trip the device per frame and no call is elided
+        sc = state.params.scaling + prev[0, 0, 0] * 0.0
+        st = state.replace(params=_dc.replace(state.params, scaling=sc))
+        return render(cam, st, jnp.zeros(3), backend=backend)["render"]
+
+    fn = jax.jit(frame)
+    img = fn(cam_params[0], jnp.zeros((3, height, width)))
     jax.block_until_ready(img)
     t0 = time.perf_counter()
-    acc = None
     for i in range(iters):
-        # feed a data dependency through so no step can be elided
-        sc = (0.0 if acc is None else acc * 0.0)
-        img = fn(cam_params[i % 4], sc)
-        acc = img[0, 0, 0]
+        img = fn(cam_params[i % 4], img)
     jax.block_until_ready(img)
     fps = iters / (time.perf_counter() - t0)
     n = state.capacity

@@ -94,6 +94,7 @@ def training(dataset: ModelParams, opt: OptimizationParams,
     viewpoint_stack: List[int] = []
     key = jax.random.PRNGKey(seed)
     params, aux = state.params, state.aux
+    it_dev = jnp.asarray(first_iter + 1, jnp.int32)
     ema = {"loss": 0.0, "dist": 0.0, "normal": 0.0, "dino": 0.0}
     t_start = time.time()
     log_rows = []
@@ -107,9 +108,8 @@ def training(dataset: ModelParams, opt: OptimizationParams,
         idx = viewpoint_stack.pop(rnd.randint(0, len(viewpoint_stack) - 1))
 
         step = get_step(state)
-        params, adam, aux, metrics = step(
-            params, adam, aux, cam_params[idx], gt_images[idx],
-            jnp.asarray(iteration, jnp.int32))
+        params, adam, aux, metrics, it_dev = step(
+            params, adam, aux, cam_params[idx], gt_images[idx], it_dev)
 
         # ---- host-side schedule (cheap; all heavy work stays on device) ---
         if iteration % log_every == 0 or iteration == opt.iterations:

@@ -106,7 +106,9 @@ def make_train_step(opt: OptimizationParams, *, sh_degree: int,
             total=total, l1=extras["l1"], dist=extras["dist"],
             normal=extras["normal"], dino=extras["dino"],
             psnr=extras["psnr"], n_active=aux_state.active.sum())
-        return params, adam, aux_state, metrics
+        # device-side counter: callers thread it back in, avoiding a
+        # host->device scalar upload every iteration
+        return params, adam, aux_state, metrics, iteration + 1
 
     donate_argnums = (0, 1, 2) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)

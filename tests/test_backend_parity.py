@@ -30,7 +30,7 @@ def test_train_step_backend_parity(rng):
         step = make_train_step(opt, sh_degree=1, white_background=False,
                                backend=backend, spatial_lr_scale=1.0,
                                donate=False)
-        params, adam, aux, metrics = step(
+        params, adam, aux, metrics, _ = step(
             state.params, init_adam(state.params), state.aux, cam.params(),
             gt, jnp.asarray(8000, jnp.int32))  # all reg terms active
         outs[backend] = (params, aux, metrics)

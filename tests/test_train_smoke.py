@@ -66,7 +66,7 @@ def test_train_step_improves_psnr(rng):
     psnr_first = None
     for it in range(1, 201):
         cam = cams[it % len(cams)]
-        params, adam, aux, metrics = step(
+        params, adam, aux, metrics, _ = step(
             params, adam, aux, cam.params(), gts[it % len(cams)],
             jnp.asarray(it, jnp.int32))
         if psnr_first is None:
@@ -87,7 +87,7 @@ def test_metrics_are_finite(rng):
     step = make_train_step(opt, sh_degree=0, white_background=True,
                            spatial_lr_scale=1.0, donate=False)
     gt = jnp.ones((3, cam.height, cam.width)) * 0.5
-    params, adam, aux, metrics = step(
+    params, adam, aux, metrics, _ = step(
         state.params, init_adam(state.params), state.aux, cam.params(), gt,
         jnp.asarray(1, jnp.int32))
     for v in metrics:
