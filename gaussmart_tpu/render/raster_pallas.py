@@ -206,12 +206,13 @@ def _reduce_rows(fields):
 # ---------------------------------------------------------------------------
 
 def _stream_pixels(tids, tiles_x):
-    """Pixel coords for 4 arbitrary 16x16 tiles (one per 2-sublane band);
-    p_local = (sublane%2)*128 + lane."""
+    """Pixel coords for 4 arbitrary 16x16 tiles. Stream s owns sublanes
+    {s, s+4} (so a tiled 4->8 sublane repeat broadcasts per-stream values
+    correctly); p_local = (sublane//4)*128 + lane."""
     sub = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    stream_id = sub // 2
-    a = sub % 2
+    stream_id = sub % 4
+    a = sub // 4
     p_local = a * 128 + lane
     px_local = (p_local % TILE).astype(jnp.float32)
     py_local = (p_local // TILE).astype(jnp.float32)
@@ -231,9 +232,10 @@ def _bcast4(vals, stream_id):
 
 
 def _reduce4(field):
-    """Per-stream sums of an (8,128) field -> 4 scalars."""
+    """Per-stream sums of an (8,128) field -> 4 scalars (stream s owns
+    sublanes s and s+4)."""
     lane_sum = jnp.sum(field, axis=1)          # (8,)
-    return [lane_sum[2 * s] + lane_sum[2 * s + 1] for s in range(STREAMS)]
+    return [lane_sum[s] + lane_sum[s + 4] for s in range(STREAMS)]
 
 
 def _pack_row(vals):
@@ -279,7 +281,7 @@ def _make_fwd_kernel(tiles_x: int):
                 def _(s=s):
                     pltpu.make_async_copy(
                         blob_ref.at[pl.ds(starts[s] + c * K, K), :],
-                        chunk.at[slot, s], sems.at[slot, s]).start()
+                        chunk.at[slot, :, s, :], sems.at[slot, s]).start()
 
         def wait_dmas(slot, c):
             for s in range(STREAMS):
@@ -287,7 +289,7 @@ def _make_fwd_kernel(tiles_x: int):
                 def _(s=s):
                     pltpu.make_async_copy(
                         blob_ref.at[pl.ds(starts[s] + c * K, K), :],
-                        chunk.at[slot, s], sems.at[slot, s]).wait()
+                        chunk.at[slot, :, s, :], sems.at[slot, s]).wait()
 
         @pl.when(n_chunks > 0)
         def _():
@@ -305,11 +307,12 @@ def _make_fwd_kernel(tiles_x: int):
 
             def entry(e, st):
                 e_rel = c * K + e
-                cols = [chunk[slot, s, e, :] for s in range(STREAMS)]
+                block4 = chunk[slot, e]               # [STREAMS, F_PAD]
 
                 def fld(i):
-                    return _bcast4([cols[s][i] for s in range(STREAMS)],
-                                   stream_id)
+                    # lane-broadcast column i, duplicate sublanes 4->8
+                    col = jnp.broadcast_to(block4[:, i:i + 1], (STREAMS, 128))
+                    return pltpu.repeat(col, 2, axis=0)
 
                 scal = [fld(i) for i in range(13)]
                 opacity = fld(13)
@@ -423,7 +426,7 @@ def _make_bwd_kernel(tiles_x: int):
                 def _(s=s):
                     pltpu.make_async_copy(
                         blob_ref.at[pl.ds(starts[s] + c * K, K), :],
-                        chunk.at[slot, s], sems.at[slot, s]).start()
+                        chunk.at[slot, :, s, :], sems.at[slot, s]).start()
 
         def wait_dmas(slot, c):
             for s in range(STREAMS):
@@ -431,7 +434,7 @@ def _make_bwd_kernel(tiles_x: int):
                 def _(s=s):
                     pltpu.make_async_copy(
                         blob_ref.at[pl.ds(starts[s] + c * K, K), :],
-                        chunk.at[slot, s], sems.at[slot, s]).wait()
+                        chunk.at[slot, :, s, :], sems.at[slot, s]).wait()
 
         # zero-flush grad rows for chunks the walk below never touches:
         # stream s rows in [n_rel[s], chunks_s[s]) carry no gradient
@@ -472,11 +475,11 @@ def _make_bwd_kernel(tiles_x: int):
                 e = K - 1 - j            # reverse within chunk
                 T_cur, S = carry2
                 e_rel = c * K + e
-                cols = [chunk[slot, s, e, :] for s in range(STREAMS)]
+                block4 = chunk[slot, e]               # [STREAMS, F_PAD]
 
                 def fld(i):
-                    return _bcast4([cols[s][i] for s in range(STREAMS)],
-                                   stream_id)
+                    col = jnp.broadcast_to(block4[:, i:i + 1], (STREAMS, 128))
+                    return pltpu.repeat(col, 2, axis=0)
 
                 scal = [fld(i) for i in range(13)]
                 opacity = fld(13)
@@ -697,7 +700,7 @@ def _core_fwd_impl(blob, padded_idx, starts, counts, order, tiles_x,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, STREAMS, K, F_PAD), jnp.float32),
+            pltpu.VMEM((2, K, STREAMS, F_PAD), jnp.float32),
             pltpu.SemaphoreType.DMA((2, STREAMS)),
         ],
     )
@@ -744,7 +747,7 @@ def _core_bwd(tiles_x, tiles_y, interpret, res, ct_fb):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, STREAMS, K, F_PAD), jnp.float32),
+            pltpu.VMEM((2, K, STREAMS, F_PAD), jnp.float32),
             pltpu.VMEM((STREAMS, K, F_PAD), jnp.float32),
             pltpu.SemaphoreType.DMA((2, STREAMS)),
             pltpu.SemaphoreType.DMA((STREAMS,)),
@@ -778,8 +781,10 @@ def _fb_to_maps(fb, order, tiles_x, tiles_y):
     rank = jnp.argsort(order)                         # tile -> rank
     prog = rank // STREAMS
     band = rank % STREAMS
-    fbb = fb.reshape(-1, CH, STREAMS, 2, 8, TILE)     # prog,ch,band,a,b1,px
-    tile_blocks = fbb[prog, :, band]                  # [n_tiles,CH,2,8,16]
+    # sublane = a*4 + band (stream band owns sublanes {band, band+4})
+    fbb = fb.reshape(-1, CH, 2, STREAMS, 8, TILE)     # prog,ch,a,band,b1,px
+    # non-adjacent advanced indices put the tile axis first: [n,CH,2,8,px]
+    tile_blocks = fbb[prog, :, :, band]
     tb = tile_blocks.reshape(tiles_y, tiles_x, CH, 2, 8, TILE)
     tb = jnp.transpose(tb, (2, 0, 3, 4, 1, 5))        # ch,ty,a,b1,tx,px
     return tb.reshape(CH, tiles_y * TILE, tiles_x * TILE)
