@@ -238,6 +238,19 @@ def _reduce4(field):
     return [lane_sum[s] + lane_sum[s + 4] for s in range(STREAMS)]
 
 
+def _reduce_block(fields):
+    """Per-stream sums of F fields -> one (STREAMS, F_PAD) block without
+    scalar extraction: fold the {s, s+4} sublane pair, lane-reduce to a
+    (4,1) column, place at the field's lane."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (STREAMS, F_PAD), 1)
+    block = jnp.zeros((STREAMS, F_PAD), jnp.float32)
+    for f_idx, f in enumerate(fields):
+        folded = f[0:4] + f[4:8]                       # (4,128)
+        col = jnp.sum(folded, axis=1, keepdims=True)   # (4,1)
+        block = jnp.where(lane == f_idx, col, block)
+    return block
+
+
 def _pack_row(vals):
     """Pack F scalars into an (F_PAD,) row with masked selects (scalar
     stores to VMEM are not lowerable)."""
@@ -438,7 +451,7 @@ def _make_bwd_kernel(tiles_x: int):
 
         # zero-flush grad rows for chunks the walk below never touches:
         # stream s rows in [n_rel[s], chunks_s[s]) carry no gradient
-        gchunk[...] = jnp.zeros((STREAMS, K, F_PAD), jnp.float32)
+        gchunk[...] = jnp.zeros((K, STREAMS, F_PAD), jnp.float32)
         max_chunks = functools.reduce(jnp.maximum, chunks_s)
 
         def flush_zero(c, _):
@@ -446,7 +459,7 @@ def _make_bwd_kernel(tiles_x: int):
                 @pl.when((c >= n_rel[s]) & (c < chunks_s[s]))
                 def _(s=s):
                     dma = pltpu.make_async_copy(
-                        gchunk.at[s],
+                        gchunk.at[:, s, :],
                         grad_ref.at[pl.ds(starts[s] + c * K, K), :],
                         gsems.at[s])
                     dma.start()
@@ -525,15 +538,11 @@ def _make_bwd_kernel(tiles_x: int):
                     fields = (gfields + [gop_f]
                               + [w * dC[ci] for ci in range(3)]
                               + [w * dN[ci] for ci in range(3)])
-                    per_stream = [_reduce4(f) for f in fields]  # [F][4]
-                    for s in range(STREAMS):
-                        row = _pack_row([per_stream[i][s] for i in range(F)])
-                        gchunk[s, e, :] = row
+                    gchunk[e] = _reduce_block(fields)
 
                 @pl.when(jnp.logical_not(active))
                 def _():
-                    for s in range(STREAMS):
-                        gchunk[s, e, :] = jnp.zeros((F_PAD,), jnp.float32)
+                    gchunk[e] = jnp.zeros((STREAMS, F_PAD), jnp.float32)
 
                 S = S + jnp.where(contrib, w * dLdw, 0.0)
                 return T_before, S
@@ -544,7 +553,7 @@ def _make_bwd_kernel(tiles_x: int):
                 @pl.when(c < n_rel[s])
                 def _(s=s):
                     dma = pltpu.make_async_copy(
-                        gchunk.at[s],
+                        gchunk.at[:, s, :],
                         grad_ref.at[pl.ds(starts[s] + c * K, K), :],
                         gsems.at[s])
                     dma.start()
@@ -748,7 +757,7 @@ def _core_bwd(tiles_x, tiles_y, interpret, res, ct_fb):
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, K, STREAMS, F_PAD), jnp.float32),
-            pltpu.VMEM((STREAMS, K, F_PAD), jnp.float32),
+            pltpu.VMEM((K, STREAMS, F_PAD), jnp.float32),
             pltpu.SemaphoreType.DMA((2, STREAMS)),
             pltpu.SemaphoreType.DMA((STREAMS,)),
         ],
