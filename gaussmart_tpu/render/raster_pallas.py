@@ -638,22 +638,21 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int):
     BIG = jnp.int32(n_tiles) * (1 << db)
     packed = jnp.where(tile >= n_tiles, BIG, packed)
 
-    # Compact valid duplicates BEFORE the sort: typical scenes fill <15%
-    # of the N*max_dup slots, and the comparison sort is the dominant
-    # binning cost. Destinations come from a per-SPLAT exclusive cumsum
-    # (O(N), not O(N*max_dup)); overflow beyond the budget is dropped and
-    # counted.
+    # Compact valid duplicates BEFORE the sort (nonzero = one cumsum +
+    # scatter): typical scenes fill <15% of the N*max_dup slots, and the
+    # comparison sort is the dominant binning cost. Overflow beyond the
+    # budget is dropped and counted.
+    flat_valid = dup_valid.reshape(-1)
     M_work = _round_up(max(3 * N, 4096), K)
-    n_cap = jnp.minimum(n_want, max_dup)
-    offs = jnp.cumsum(n_cap) - n_cap                    # exclusive, [N]
-    n_valid = offs[-1] + n_cap[-1]
+    n_valid = flat_valid.sum()
+    pos = jnp.nonzero(flat_valid, size=M_work, fill_value=N * max_dup)[0]
     n_dropped = n_dropped + jnp.maximum(n_valid - M_work, 0)
-    dest = offs[:, None] + j                            # [N, D]
-    dest = jnp.where(dup_valid, dest, M_work)           # drop invalid/overflow
-    packed_s = jnp.full((M_work,), BIG, jnp.int32).at[dest].set(
-        packed, mode="drop")
-    sidx_c = jnp.full((M_work,), N, jnp.int32).at[dest].set(sidx, mode="drop")
-    packed_s, sidx_s = jax.lax.sort((packed_s, sidx_c), num_keys=1)
+
+    packed_pad = jnp.concatenate([packed.reshape(-1), jnp.full((1,), BIG)])
+    sidx_pad = jnp.concatenate([sidx.reshape(-1),
+                                jnp.full((1,), N, jnp.int32)])
+    packed_s, sidx_s = jax.lax.sort(
+        (packed_pad[pos], sidx_pad[pos]), num_keys=1)
     tile_s = packed_s // (1 << db)
 
     tids = jnp.arange(n_tiles, dtype=jnp.int32)
