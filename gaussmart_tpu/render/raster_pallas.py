@@ -451,7 +451,7 @@ def _make_bwd_kernel(tiles_x: int):
 
         # zero-flush grad rows for chunks the walk below never touches:
         # stream s rows in [n_rel[s], chunks_s[s]) carry no gradient
-        gchunk[...] = jnp.zeros((K, STREAMS, F_PAD), jnp.float32)
+        gchunk[...] = jnp.zeros((2, K, STREAMS, F_PAD), jnp.float32)
         max_chunks = functools.reduce(jnp.maximum, chunks_s)
 
         def flush_zero(c, _):
@@ -459,14 +459,20 @@ def _make_bwd_kernel(tiles_x: int):
                 @pl.when((c >= n_rel[s]) & (c < chunks_s[s]))
                 def _(s=s):
                     dma = pltpu.make_async_copy(
-                        gchunk.at[:, s, :],
+                        gchunk.at[0, :, s, :],
                         grad_ref.at[pl.ds(starts[s] + c * K, K), :],
-                        gsems.at[s])
+                        gsems.at[0, s])
                     dma.start()
                     dma.wait()
             return 0
 
         jax.lax.fori_loop(0, max_chunks, flush_zero, 0)
+
+        def out_dma(gs, s, c):
+            return pltpu.make_async_copy(
+                gchunk.at[gs, :, s, :],
+                grad_ref.at[pl.ds(starts[s] + c * K, K), :],
+                gsems.at[gs, s])
 
         @pl.when(start_c > 0)
         def _():
@@ -475,10 +481,18 @@ def _make_bwd_kernel(tiles_x: int):
         def body(carry):
             c, T_cur, S = carry          # c runs start_c-1 .. 0
             slot = jax.lax.rem(c, 2)
+            gs = jax.lax.rem(c, 2)
 
             @pl.when(c > 0)
             def _():
                 start_dmas(jax.lax.rem(c - 1, 2), c - 1)
+
+            # this gchunk slot's previous out-DMA (chunk c+2) must be done
+            # before the entry loop rewrites it
+            for s in range(STREAMS):
+                @pl.when(c + 2 < n_rel[s])
+                def _(s=s):
+                    out_dma(gs, s, c + 2).wait()
 
             wait_dmas(slot, c)
 
@@ -538,11 +552,11 @@ def _make_bwd_kernel(tiles_x: int):
                     fields = (gfields + [gop_f]
                               + [w * dC[ci] for ci in range(3)]
                               + [w * dN[ci] for ci in range(3)])
-                    gchunk[e] = _reduce_block(fields)
+                    gchunk[gs, e] = _reduce_block(fields)
 
                 @pl.when(jnp.logical_not(active))
                 def _():
-                    gchunk[e] = jnp.zeros((STREAMS, F_PAD), jnp.float32)
+                    gchunk[gs, e] = jnp.zeros((STREAMS, F_PAD), jnp.float32)
 
                 S = S + jnp.where(contrib, w * dLdw, 0.0)
                 return T_before, S
@@ -552,12 +566,7 @@ def _make_bwd_kernel(tiles_x: int):
             for s in range(STREAMS):
                 @pl.when(c < n_rel[s])
                 def _(s=s):
-                    dma = pltpu.make_async_copy(
-                        gchunk.at[:, s, :],
-                        grad_ref.at[pl.ds(starts[s] + c * K, K), :],
-                        gsems.at[s])
-                    dma.start()
-                    dma.wait()
+                    out_dma(gs, s, c).start()
             return c - 1, T_cur, S
 
         def cond(carry):
@@ -567,6 +576,13 @@ def _make_bwd_kernel(tiles_x: int):
         jax.lax.while_loop(
             cond, lambda carry: body((carry[0], carry[1], carry[2])),
             (start_c - 1, T_final, jnp.zeros((8, 128), jnp.float32)))
+
+        # drain the last two chunks' in-flight gradient writes
+        for cc in range(2):
+            for s in range(STREAMS):
+                @pl.when(cc < n_rel[s])
+                def _(s=s, cc=cc):
+                    out_dma(jax.lax.rem(jnp.int32(cc), 2), s, cc).wait()
 
     return kernel
 
@@ -757,9 +773,9 @@ def _core_bwd(tiles_x, tiles_y, interpret, res, ct_fb):
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, K, STREAMS, F_PAD), jnp.float32),
-            pltpu.VMEM((K, STREAMS, F_PAD), jnp.float32),
+            pltpu.VMEM((2, K, STREAMS, F_PAD), jnp.float32),
             pltpu.SemaphoreType.DMA((2, STREAMS)),
-            pltpu.SemaphoreType.DMA((STREAMS,)),
+            pltpu.SemaphoreType.DMA((2, STREAMS)),
         ],
     )
     grad_padded = pl.pallas_call(
