@@ -11,7 +11,6 @@ import json
 import os
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

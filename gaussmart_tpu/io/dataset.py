@@ -20,7 +20,7 @@ import numpy as np
 
 from gaussmart_tpu.cameras import Camera, focal2fov, fov2focal, world_to_view
 from gaussmart_tpu.io import colmap
-from gaussmart_tpu.io.ply import fetch_point_cloud, read_ply, store_point_cloud
+from gaussmart_tpu.io.ply import fetch_point_cloud, store_point_cloud
 from gaussmart_tpu.ops.sh import sh2rgb
 
 # identification-pipeline artifact locations (CWD-relative in the reference —

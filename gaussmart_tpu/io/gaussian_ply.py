@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 from gaussmart_tpu.io.ply import read_ply, write_ply
-from gaussmart_tpu.models.gaussians import GaussianState, init_from_pcd, empty_params
+from gaussmart_tpu.models.gaussians import GaussianState, empty_params
 
 
 def save_gaussian_ply(path: str, state: GaussianState):

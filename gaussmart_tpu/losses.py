@@ -14,7 +14,7 @@ faithful mode (stop_gradient, +cos) and a corrected differentiable mode
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ device until export.
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

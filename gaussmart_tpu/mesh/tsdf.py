@@ -16,7 +16,7 @@ Two modes, mirroring the reference's meshing paths (utils/mesh_utils.py):
 from __future__ import annotations
 
 import functools
-from typing import List, Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ is the planned third axis for >10M-splat scenes; see parallel/DESIGN.md.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import jax

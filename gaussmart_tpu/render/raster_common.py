@@ -15,10 +15,8 @@ so T's columns are (Tu, Tv, Tw) with Tw giving view-space depth.
 """
 from __future__ import annotations
 
-import dataclasses
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from gaussmart_tpu.cameras import CameraParams

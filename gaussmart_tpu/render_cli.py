@@ -7,7 +7,6 @@ sdf_trunc = 5*voxel), diffuse texture via active_sh_degree=0.
 """
 from __future__ import annotations
 
-import dataclasses
 import os
 from argparse import ArgumentParser
 

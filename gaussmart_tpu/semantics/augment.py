@@ -8,7 +8,7 @@ Host-side numpy — init-time preprocessing, never in the train step.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 

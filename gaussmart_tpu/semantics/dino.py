@@ -13,9 +13,8 @@ for tests and ablations.
 """
 from __future__ import annotations
 
-import functools
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

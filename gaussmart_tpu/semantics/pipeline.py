@@ -18,7 +18,7 @@ from __future__ import annotations
 import argparse
 import os
 import shutil
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

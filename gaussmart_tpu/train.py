@@ -19,11 +19,9 @@ import os
 import subprocess
 import sys
 import time
-from argparse import ArgumentParser, Namespace
+from argparse import ArgumentParser
 from random import Random
 from typing import List, Optional
-
-import numpy as np
 
 import jax
 import jax.numpy as jnp
@@ -225,7 +223,6 @@ def _flush_log(path, fields, rows):
 
 def _grow(state, adam):
     """Double capacity when densify overflowed (recompile boundary)."""
-    import dataclasses as dc
     new_cap = state.capacity * 2
     print(f"[capacity] growing {state.capacity} -> {new_cap}")
     grown = grow_capacity(state, new_cap)

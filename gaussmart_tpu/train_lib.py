@@ -9,9 +9,8 @@ a second jitted program invoked every `densification_interval` iterations.
 """
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

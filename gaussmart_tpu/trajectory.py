@@ -6,7 +6,6 @@ video export (mediapy there; cv2 VideoWriter here, mediapy not in env).
 """
 from __future__ import annotations
 
-import copy
 import os
 from typing import List
 

@@ -5,7 +5,6 @@ renders to a connected SIBR viewer over the network_gui protocol.
 """
 from __future__ import annotations
 
-import sys
 from argparse import ArgumentParser
 
 import jax.numpy as jnp
