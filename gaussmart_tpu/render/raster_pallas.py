@@ -628,6 +628,24 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int):
     n_want = nx * ny
     n_dropped = jnp.maximum(n_want - max_dup, 0).sum()
 
+    # Splats whose footprint exceeds the budget keep a rect shrunk
+    # SYMMETRICALLY around their center tile (isotropic skirt truncation)
+    # rather than losing trailing tiles in raster order.
+    over = n_want > max_dup
+    scale = jnp.sqrt(max_dup / jnp.maximum(n_want, 1).astype(jnp.float32))
+    nx_c = jnp.where(over, jnp.maximum(
+        (nx.astype(jnp.float32) * scale).astype(jnp.int32), 1), nx)
+    ny_c = jnp.where(over, jnp.maximum(
+        (ny.astype(jnp.float32) * scale).astype(jnp.int32), 1), ny)
+    # continuous centering: round so the kept window straddles the center
+    # even when it sits at a tile boundary
+    tx0 = jnp.clip(jnp.round(cx / TILE - nx_c / 2.0).astype(jnp.int32),
+                   tx0, jnp.maximum(tx1 - nx_c, tx0))
+    ty0 = jnp.clip(jnp.round(cy / TILE - ny_c / 2.0).astype(jnp.int32),
+                   ty0, jnp.maximum(ty1 - ny_c, ty0))
+    nx, ny = nx_c, ny_c
+    n_want = nx * ny
+
     j = jnp.arange(max_dup, dtype=jnp.int32)[None, :]            # [1,D]
     nx_safe = jnp.maximum(nx, 1)[:, None]
     dup_valid = (j < jnp.minimum(n_want, max_dup)[:, None])

@@ -101,3 +101,26 @@ def test_gradients_match_dense(rng):
         scale = np.abs(gr).max() + 1e-6
         np.testing.assert_allclose(gp, gr, atol=3e-3 * scale, rtol=2e-2,
                                    err_msg=f"grad mismatch: {nm}")
+
+
+def test_giant_splat_budget_truncation_is_centered(rng):
+    """A splat exceeding the duplicate budget keeps a centered footprint."""
+    cam = make_camera(width=128, height=128, fov=1.0)
+    xyz = jnp.array([[0.0, 0.0, 2.0]])
+    scales = jnp.array([[1.2, 1.2]])          # huge: covers the whole frame
+    quats = jnp.array([[1.0, 0.0, 0.0, 0.0]])
+    opac = jnp.array([0.9])
+    shs = jnp.asarray(rgb2sh(np.ones((1, 1, 3), np.float32)))
+    prep = raster_common.preprocess(xyz, scales, quats, opac, shs,
+                                    jnp.ones(1, bool), cam.params(),
+                                    sh_degree=0)
+    out = rasterize_tiled(prep, jnp.zeros((1, 2)), jnp.zeros(3), 128, 128,
+                          max_dup=4, interpret=True)
+    alpha = np.asarray(out["allmap"][1])
+    # center lit (splat center projects to ~(63.5, 63.5))
+    assert alpha[63, 63] > 0.5 and alpha[64, 64] > 0.5
+    # truncation symmetric about the center: mirrored column/row profiles
+    col = alpha.sum(axis=0)
+    row = alpha.sum(axis=1)
+    np.testing.assert_allclose(col[:64], col[64:][::-1], rtol=0.25, atol=3.0)
+    np.testing.assert_allclose(row[:64], row[64:][::-1], rtol=0.25, atol=3.0)
