@@ -68,8 +68,10 @@ def render_arrays(
     depth_ratio: float = 0.0,
     backend: str = "auto",
     chunk: int = 64,
+    active_degree=None,
 ) -> Dict[str, jnp.ndarray]:
-    """Render from raw (already activated) arrays — the grad entry point."""
+    """Render from raw (already activated) arrays — the grad entry point.
+    `active_degree` (traced) masks SH bands above it (see preprocess)."""
     n = xyz.shape[0]
     if means2d is None:
         means2d = jnp.zeros((n, 2), jnp.float32)
@@ -77,7 +79,7 @@ def render_arrays(
     prep = raster_common.preprocess(
         xyz, scaling, rotation, opacity, features, active, cam,
         sh_degree=sh_degree, scale_modifier=scaling_modifier,
-        override_color=override_color)
+        override_color=override_color, active_degree=active_degree)
 
     from gaussmart_tpu.render import raster_pallas
     # "auto": the Pallas kernel on TPU, the dense XLA compositor elsewhere

@@ -67,7 +67,12 @@ def preprocess(
     sh_degree: int,
     scale_modifier: float = 1.0,
     override_color: jnp.ndarray | None = None,
+    active_degree=None,
 ) -> Preprocessed:
+    """`sh_degree` is the static max degree compiled in; `active_degree`
+    (optional, traced) masks coefficient bands above it so ONE compiled
+    program serves the whole degree schedule (no recompiles at the
+    every-1000-iterations SH bump)."""
     W, H = cam.width, cam.height
     R = quat_to_rotmat(quats)                         # [N,3,3]
     axis_u = R[..., :, 0] * (scales[:, 0:1] * scale_modifier)
@@ -114,8 +119,15 @@ def preprocess(
     if override_color is None:
         from gaussmart_tpu.transforms import safe_normalize
         dirs = safe_normalize(means3d - cam.camera_center[None, :])
+        sh_in = shs
+        if active_degree is not None:
+            import numpy as _np
+            k = (sh_degree + 1) ** 2
+            bands = jnp.asarray(_np.floor(_np.sqrt(_np.arange(k))), jnp.float32)
+            mask = (bands <= jnp.asarray(active_degree, jnp.float32))
+            sh_in = shs * mask[None, :k, None]
         color = jnp.maximum(
-            eval_sh(sh_degree, jnp.swapaxes(shs, 1, 2), dirs) + 0.5, 0.0)
+            eval_sh(sh_degree, jnp.swapaxes(sh_in, 1, 2), dirs) + 0.5, 0.0)
     else:
         color = override_color
 

@@ -73,10 +73,12 @@ def training(dataset: ModelParams, opt: OptimizationParams,
     step_cache = {}
 
     def get_step(st):
-        key = (st.active_sh_degree, st.capacity)
+        # the SH degree schedule is traced inside the step; only capacity
+        # changes force a recompile
+        key = st.capacity
         if key not in step_cache:
             step_cache[key] = make_train_step(
-                opt, sh_degree=st.active_sh_degree,
+                opt, sh_degree=st.max_sh_degree,
                 white_background=dataset.white_background,
                 depth_ratio=pipe.depth_ratio, backend=pipe.backend,
                 dino_fn=dino_fn, spatial_lr_scale=st.spatial_lr_scale)

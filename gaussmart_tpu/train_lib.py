@@ -43,6 +43,9 @@ def _loss_and_aux(params: GaussianParams, means2d, aux_state, cam, gt_image,
     opacity = jax.nn.sigmoid(params.opacity[:, 0])
     features = jnp.concatenate([params.features_dc, params.features_rest], axis=1)
 
+    # SH degree schedule is TRACED (every-1000-iters bump, train.py:96-97)
+    # so a single compiled step serves all degrees
+    active_degree = jnp.clip(iteration // 1000, 0, sh_degree)
     pkg = render_arrays(
         cam,
         xyz=params.xyz,
@@ -56,6 +59,7 @@ def _loss_and_aux(params: GaussianParams, means2d, aux_state, cam, gt_image,
         means2d=means2d,
         depth_ratio=depth_ratio,
         backend=backend,
+        active_degree=active_degree,
     )
     image = pkg["render"]
     loss, ll1 = photometric_loss(image, gt_image, opt.lambda_dssim)
