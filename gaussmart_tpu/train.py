@@ -275,6 +275,19 @@ def report_eval(scene: Scene, state, pipe, dataset, iteration, tb=None):
     if train_cams:
         configs.append(("train", [train_cams[i % len(train_cams)]
                                   for i in range(5, 30, 5)]))
+
+    # jit the whole per-view eval: eager dispatch per op is prohibitively
+    # slow through remote-TPU backends
+    @jax.jit
+    def _eval_view(cam_params, gt_image):
+        pkg = render(cam_params, state, bg, depth_ratio=pipe.depth_ratio,
+                     backend=pipe.backend)
+        img = jnp.clip(pkg["render"], 0, 1)
+        gt = jnp.clip(gt_image, 0, 1)
+        return (img, l1_loss(img, gt), psnr_fn(img[None], gt[None])[0, 0],
+                ssim_fn(img, gt), pkg["surf_depth"], pkg["rend_normal"],
+                pkg["rend_alpha"])
+
     results = {}
     for name, cams in configs:
         if not cams:
@@ -283,26 +296,24 @@ def report_eval(scene: Scene, state, pipe, dataset, iteration, tb=None):
         if lpips is not None:
             tot["lpips"] = 0.0
         for vi, cam in enumerate(cams):
-            pkg = render(cam.params(), state, bg,
-                         depth_ratio=pipe.depth_ratio, backend=pipe.backend)
-            img = jnp.clip(pkg["render"], 0, 1)
             gt = jnp.clip(jnp.asarray(cam.image), 0, 1)
+            img, l1v, psnrv, ssimv, surf_depth, rend_normal, rend_alpha = \
+                _eval_view(cam.params(), jnp.asarray(cam.image))
             if tb is not None and vi < 5:
                 import numpy as _np
                 tb.image(f"{name}_view_{cam.image_name}/render",
                          _np.asarray(img), iteration)
-                d = pkg["surf_depth"]
-                d = d / jnp.maximum(d.max(), 1e-9)
+                d = surf_depth / jnp.maximum(surf_depth.max(), 1e-9)
                 tb.image(f"{name}_view_{cam.image_name}/depth",
                          _np.asarray(jnp.concatenate([d] * 3, 0)), iteration)
                 tb.image(f"{name}_view_{cam.image_name}/rend_normal",
-                         _np.asarray(pkg["rend_normal"] * 0.5 + 0.5), iteration)
+                         _np.asarray(rend_normal * 0.5 + 0.5), iteration)
                 tb.image(f"{name}_view_{cam.image_name}/rend_alpha",
-                         _np.asarray(jnp.concatenate([pkg["rend_alpha"]] * 3, 0)),
+                         _np.asarray(jnp.concatenate([rend_alpha] * 3, 0)),
                          iteration)
-            tot["l1"] += float(l1_loss(img, gt))
-            tot["psnr"] += float(psnr_fn(img[None], gt[None])[0, 0])
-            tot["ssim"] += float(ssim_fn(img, gt))
+            tot["l1"] += float(l1v)
+            tot["psnr"] += float(psnrv)
+            tot["ssim"] += float(ssimv)
             if lpips is not None:
                 tot["lpips"] += float(lpips(img, gt)[0])
         n = len(cams)
