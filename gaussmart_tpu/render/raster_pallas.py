@@ -608,8 +608,21 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int):
-    """Duplicate-expand over 16x16 tiles, compact, sort by packed
-    (tile|depth) key, K-align per-tile ranges.
+    """Duplicate-expand over 16x16 tiles and sort by a packed (tile|depth)
+    int32 key into a per-tile K-aligned layout — with ONE sort and no
+    scatter/compaction ops.
+
+    The trick replacing the former nonzero-compaction + rank/scatter
+    pipeline (which cost ~22 ms/step in gathers and TPU scatters): append
+    exactly K filler entries per tile whose key is the tile's maximum depth
+    quantile (real entries are clamped one below it). After the stable sort,
+    every tile's run is [real entries..., K fillers...], so
+      * the sorted payload IS the final index array,
+      * tile t's chunked DMA windows [start_t, start_t + ceil(count_t/K)*K)
+        stay disjoint from tile t+1's region (at most K rows of padding are
+        consumed from the fillers), which the racing backward out-DMAs rely
+        on,
+      * starts/counts drop out of two searchsorted calls.
 
     Returns (padded_idx [M_pad] int32 splat indices (N = dummy),
              starts [n_tiles], counts [n_tiles], n_dropped)."""
@@ -666,47 +679,37 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int):
     dmax = jnp.max(jnp.where(valid, d, -jnp.inf))
     dq = jnp.clip((d - dmin) / jnp.maximum(dmax - dmin, 1e-9), 0.0, 1.0)
     # clamp as INTEGER: f32 cannot represent 2^db-1 exactly and rounds up,
-    # which would leak the deepest splats into the next tile's key range
-    dq = jnp.clip((dq * (1 << db)).astype(jnp.int32), 0, (1 << db) - 1)
-    packed = tile * (1 << db) + dq[:, None]
+    # which would leak the deepest splats into the next tile's key range.
+    # Top quantile (2^db - 1) is reserved for the per-tile filler entries.
+    dq = jnp.clip((dq * (1 << db)).astype(jnp.int32), 0, (1 << db) - 2)
+    packed = jnp.where(dup_valid, tile * (1 << db) + dq[:, None], 0)
     BIG = jnp.int32(n_tiles) * (1 << db)
-    packed = jnp.where(tile >= n_tiles, BIG, packed)
+    packed = jnp.where(dup_valid & (tile < n_tiles), packed, BIG)
 
-    # Compact valid duplicates BEFORE the sort (nonzero = one cumsum +
-    # scatter): typical scenes fill <15% of the N*max_dup slots, and the
-    # comparison sort is the dominant binning cost. Overflow beyond the
-    # budget is dropped and counted.
-    flat_valid = dup_valid.reshape(-1)
-    M_work = _round_up(max(3 * N, 4096), K)
-    n_valid = flat_valid.sum()
-    pos = jnp.nonzero(flat_valid, size=M_work, fill_value=N * max_dup)[0]
-    n_dropped = n_dropped + jnp.maximum(n_valid - M_work, 0)
-
-    packed_pad = jnp.concatenate([packed.reshape(-1), jnp.full((1,), BIG)])
-    sidx_pad = jnp.concatenate([sidx.reshape(-1),
-                                jnp.full((1,), N, jnp.int32)])
-    packed_s, sidx_s = jax.lax.sort(
-        (packed_pad[pos], sidx_pad[pos]), num_keys=1)
-    tile_s = packed_s // (1 << db)
-
+    n_valid = dup_valid.reshape(-1).sum()
     tids = jnp.arange(n_tiles, dtype=jnp.int32)
-    starts_raw = jnp.searchsorted(packed_s, tids * (1 << db),
-                                  side="left").astype(jnp.int32)
-    ends_raw = jnp.searchsorted(packed_s, (tids + 1) * (1 << db),
-                                side="left").astype(jnp.int32)
-    counts = ends_raw - starts_raw
+    filler_keys = jnp.repeat(tids, K) * (1 << db) + ((1 << db) - 1)
+    keys_all = jnp.concatenate([packed.reshape(-1), filler_keys])
+    sidx_all = jnp.concatenate(
+        [sidx.reshape(-1), jnp.full((n_tiles * K,), N, jnp.int32)])
+    keys_s, sidx_s = jax.lax.sort((keys_all, sidx_all), num_keys=1)
 
-    padded_counts = ((counts + K - 1) // K) * K
-    starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                              jnp.cumsum(padded_counts)[:-1].astype(jnp.int32)])
+    # Keep a ~3N real-entry work budget (+ the fillers); real entries past
+    # it (only possible when the scene overflows 3N duplicates) are dropped
+    # and counted. +K safety rows so the last tile's chunked DMA never runs
+    # off the array.
+    M_keep = min(_round_up(max(3 * N, 4096), K) + n_tiles * K,
+                 keys_all.shape[0])
+    keys_k = jax.lax.slice(keys_s, (0,), (M_keep,))
+    idx_k = jnp.where(keys_k >= BIG, N, jax.lax.slice(sidx_s, (0,), (M_keep,)))
+    padded_idx = jnp.concatenate([idx_k, jnp.full((K,), N, jnp.int32)])
+    n_dropped = n_dropped + jnp.maximum(n_valid + n_tiles * K - M_keep, 0)
 
-    M_pad = _round_up(M_work + n_tiles * K, K)
-    rank = (jnp.arange(M_work, dtype=jnp.int32)
-            - starts_raw[jnp.clip(tile_s, 0, n_tiles - 1)])
-    dest = jnp.where(tile_s < n_tiles,
-                     starts[jnp.clip(tile_s, 0, n_tiles - 1)] + rank, M_pad)
-    padded_idx = jnp.full((M_pad,), N, jnp.int32).at[dest].set(sidx_s,
-                                                               mode="drop")
+    starts = jnp.searchsorted(keys_k, tids * (1 << db),
+                              side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(keys_k, tids * (1 << db) + ((1 << db) - 1),
+                            side="left").astype(jnp.int32)
+    counts = ends - starts
     # Load-balanced stream packing: programs own 4 tiles of SIMILAR entry
     # count (sorted consecutive grouping), so the per-program step count
     # (max over its streams) stays close to the mean instead of the max of
