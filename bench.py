@@ -76,7 +76,7 @@ def main():
     opt = OptimizationParams()
     step = make_train_step(opt, sh_degree=3, white_background=False,
                            backend=backend, spatial_lr_scale=1.0,
-                           donate=False)
+                           donate=True)
 
     params, adam, aux = state.params, init_adam(state.params), state.aux
     # warmup / compile

@@ -33,14 +33,21 @@ def regularization_losses(render_pkg: Dict[str, jnp.ndarray], iteration,
                           lambda_dist: float, lambda_normal: float):
     """train.py:131-140: dist gated > 3000, normal gated > 7000."""
     it = jnp.asarray(iteration, jnp.float32)
-    lam_n = jnp.where(it > 7000, lambda_normal, 0.0)
-    lam_d = jnp.where(it > 3000, lambda_dist, 0.0)
-
-    rend_normal = render_pkg["rend_normal"]
-    surf_normal = render_pkg["surf_normal"]
-    normal_error = 1.0 - (rend_normal * surf_normal).sum(axis=0)
-    normal_loss = lam_n * normal_error.mean()
-    dist_loss = lam_d * render_pkg["rend_dist"].mean()
+    # static-zero lambdas skip the term entirely so no cotangent reaches the
+    # corresponding rasterizer channel (enables the specialized backward)
+    if lambda_normal == 0.0:
+        normal_loss = jnp.zeros((), jnp.float32)
+    else:
+        lam_n = jnp.where(it > 7000, lambda_normal, 0.0)
+        rend_normal = render_pkg["rend_normal"]
+        surf_normal = render_pkg["surf_normal"]
+        normal_error = 1.0 - (rend_normal * surf_normal).sum(axis=0)
+        normal_loss = lam_n * normal_error.mean()
+    if lambda_dist == 0.0:
+        dist_loss = jnp.zeros((), jnp.float32)
+    else:
+        lam_d = jnp.where(it > 3000, lambda_dist, 0.0)
+        dist_loss = lam_d * render_pkg["rend_dist"].mean()
     return dist_loss, normal_loss
 
 

@@ -85,9 +85,12 @@ class BatchedCameras:
 def make_dp_train_step(opt: OptimizationParams, mesh: Mesh, *,
                        sh_degree: int, white_background: bool,
                        depth_ratio: float = 0.0, backend: str = "dense",
-                       spatial_lr_scale: float = 1.0, axis: str = "data"):
+                       spatial_lr_scale: float = 1.0, axis: str = "data",
+                       dino_fn=None, donate: bool = False):
     """Camera-DP training step over `mesh`. Batch size B must equal the mesh
-    size (one camera per device per step); stats/grads ride ICI psum."""
+    size (one camera per device per step); stats/grads ride ICI psum.
+    backend="pallas" runs the production kernel inside shard_map (interpret
+    mode off-TPU); "auto" picks per platform like the single-chip step."""
     bg = jnp.asarray([1.0, 1.0, 1.0] if white_background else [0.0, 0.0, 0.0],
                      jnp.float32)
     n_dev = mesh.devices.size
@@ -101,7 +104,7 @@ def make_dp_train_step(opt: OptimizationParams, mesh: Mesh, *,
         grad_fn = jax.value_and_grad(_loss_and_aux, argnums=(0, 1), has_aux=True)
         (total, extras), (gparams, gmeans2d) = grad_fn(
             params, means2d, aux_state, cam, gt, iteration, opt, bg,
-            sh_degree, depth_ratio, backend, None)
+            sh_degree, depth_ratio, backend, dino_fn)
 
         # gradient all-reduce over ICI (mean, matching grad accumulation)
         gparams = jax.tree.map(lambda g: jax.lax.psum(g, axis) / n_dev, gparams)
@@ -132,7 +135,8 @@ def make_dp_train_step(opt: OptimizationParams, mesh: Mesh, *,
             normal=jax.lax.pmean(extras["normal"], axis),
             dino=jax.lax.pmean(extras["dino"], axis),
             psnr=jax.lax.pmean(extras["psnr"], axis),
-            n_active=aux_state.active.sum())
+            n_active=aux_state.active.sum(),
+            n_dropped=jax.lax.psum(extras["n_dropped"], axis))
         return params, adam, aux_state, metrics
 
     rep = P()
@@ -142,7 +146,15 @@ def make_dp_train_step(opt: OptimizationParams, mesh: Mesh, *,
         in_specs=(rep, rep, rep, sharded, sharded, rep),
         out_specs=(rep, rep, rep, rep),
         check_vma=False)
-    return jax.jit(fn)
+
+    def step(params, adam, aux_state, cams, gt_images, iteration):
+        params, adam, aux_state, metrics = fn(params, adam, aux_state, cams,
+                                              gt_images, iteration)
+        # device-side counter, mirroring make_train_step's contract
+        return params, adam, aux_state, metrics, iteration + 1
+
+    donate_argnums = (0, 1, 2) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
 
 
 def render_row_sharded(mesh: Mesh, prep, means2d, bg, width: int, height: int,

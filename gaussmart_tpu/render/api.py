@@ -69,9 +69,12 @@ def render_arrays(
     backend: str = "auto",
     chunk: int = 64,
     active_degree=None,
+    need_dist_grad: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Render from raw (already activated) arrays — the grad entry point.
-    `active_degree` (traced) masks SH bands above it (see preprocess)."""
+    `active_degree` (traced) masks SH bands above it (see preprocess).
+    `need_dist_grad=False` lets the Pallas backward statically skip the
+    distortion-channel gradient (safe when the loss ignores rend_dist)."""
     n = xyz.shape[0]
     if means2d is None:
         means2d = jnp.zeros((n, 2), jnp.float32)
@@ -88,8 +91,10 @@ def render_arrays(
                   or (backend == "auto" and raster_pallas.available()
                       and jax.default_backend() == "tpu"))
     if use_pallas:
-        out = raster_pallas.rasterize_tiled(prep, means2d, bg_color,
-                                            cam.width, cam.height)
+        out = raster_pallas.rasterize_tiled(
+            prep, means2d, bg_color, cam.width, cam.height,
+            need_dist_grad=need_dist_grad,
+            need_med_grad=(depth_ratio != 0.0))
     else:
         out = rasterize_pixels(prep, means2d, bg_color, cam.width, cam.height,
                                chunk=chunk)
@@ -126,4 +131,7 @@ def render_arrays(
         "rend_dist": render_dist,
         "surf_depth": surf_depth,
         "surf_normal": surf_normal,
+        # tile-binning duplicate-budget overflow count (0 for the dense
+        # backend, which never truncates — parity with CUDA ref)
+        "n_dropped": out.get("n_dropped", jnp.zeros((), jnp.int32)),
     }

@@ -401,15 +401,18 @@ def _make_fwd_kernel(tiles_x: int):
 # backward kernel
 # ---------------------------------------------------------------------------
 
-def _make_bwd_kernel(tiles_x: int):
+def _make_bwd_kernel(tiles_x: int, need_dist: bool, need_med: bool):
+    """`need_dist`/`need_med` statically elide the distortion-channel and
+    median-depth gradient paths (zero cotangents when the training recipe
+    sets lambda_dist=0 / depth_ratio=0 — the default, BASELINE.md)."""
     def kernel(starts_ref, counts_ref, order_ref, blob_ref, fb_ref, ints_ref,
-               ct_ref, grad_ref, chunk, gchunk, sems, gsems):
+               ct_ref, gzero_ref, grad_ref, chunk, gchunk, sems, gsems):
+        del gzero_ref  # aliased to grad_ref: zero-fills rows never written
         g = pl.program_id(0)
         tids = [order_ref[STREAMS * g + s] for s in range(STREAMS)]
         px, py, stream_id = _stream_pixels(tids, tiles_x)
         starts = [starts_ref[t] for t in tids]
         counts = [counts_ref[t] for t in tids]
-        chunks_s = [pl.cdiv(cn, K) for cn in counts]
         count_f = _bcast4([cn.astype(jnp.float32) for cn in counts], stream_id)
 
         A_n = fb_ref[0, 4]
@@ -449,24 +452,11 @@ def _make_bwd_kernel(tiles_x: int):
                         blob_ref.at[pl.ds(starts[s] + c * K, K), :],
                         chunk.at[slot, :, s, :], sems.at[slot, s]).wait()
 
-        # zero-flush grad rows for chunks the walk below never touches:
-        # stream s rows in [n_rel[s], chunks_s[s]) carry no gradient
+        # Rows in chunks the reverse walk never reaches ([n_rel[s], ...))
+        # stay zero via the XLA-side zero buffer aliased into grad_ref; the
+        # scratch zeroing below covers partial-bound rows of the first
+        # (highest-c) chunk each slot processes.
         gchunk[...] = jnp.zeros((2, K, STREAMS, F_PAD), jnp.float32)
-        max_chunks = functools.reduce(jnp.maximum, chunks_s)
-
-        def flush_zero(c, _):
-            for s in range(STREAMS):
-                @pl.when((c >= n_rel[s]) & (c < chunks_s[s]))
-                def _(s=s):
-                    dma = pltpu.make_async_copy(
-                        gchunk.at[0, :, s, :],
-                        grad_ref.at[pl.ds(starts[s] + c * K, K), :],
-                        gsems.at[0, s])
-                    dma.start()
-                    dma.wait()
-            return 0
-
-        jax.lax.fori_loop(0, max_chunks, flush_zero, 0)
 
         def out_dma(gs, s, c):
             return pltpu.make_async_copy(
@@ -519,20 +509,24 @@ def _make_bwd_kernel(tiles_x: int):
                 alpha = jnp.where(in_range, alpha, 0.0)
 
                 contrib = (e_rel < n_contrib) & (alpha > 0)
+                grad_any = contrib
                 is_med = med_e == e_rel
+                if need_med:
+                    grad_any = contrib | is_med
                 alpha_c = jnp.where(contrib, alpha, 0.0)
                 T_before = jnp.where(contrib, T_cur / (1.0 - alpha_c), T_cur)
                 w = jnp.where(contrib, alpha_c * T_before, 0.0)
 
                 dsafe = jnp.where(contrib, depth, 1.0)
-                m = jnp.where(contrib, mapped_depth(dsafe), 0.0)
                 dLdw = (color[0] * dC[0] + color[1] * dC[1] + color[2] * dC[2]
                         + depth * dD + dA
                         + normal[0] * dN[0] + normal[1] * dN[1]
-                        + normal[2] * dN[2]
-                        + (m * m * A_n + M2_n - 2.0 * m * M1_n) * dDist)
+                        + normal[2] * dN[2])
+                if need_dist:
+                    m = jnp.where(contrib, mapped_depth(dsafe), 0.0)
+                    dLdw = dLdw + (m * m * A_n + M2_n - 2.0 * m * M1_n) * dDist
 
-                active = jnp.sum((contrib | is_med).astype(jnp.float32)) > 0
+                active = jnp.sum(grad_any.astype(jnp.float32)) > 0
 
                 @pl.when(active)
                 def _():
@@ -541,11 +535,13 @@ def _make_bwd_kernel(tiles_x: int):
                         contrib,
                         T_before * dLdw - (S + T_final * dT_n) / one_m_a,
                         0.0)
-                    dm_dd = FARNEAR / jnp.square(dsafe)
-                    dLdd = (w * dD
-                            + dDist * 2.0 * w * (m * A_n - M1_n) * dm_dd
-                            + jnp.where(is_med, dMed, 0.0))
-                    dLdd = jnp.where(contrib | is_med, dLdd, 0.0)
+                    dLdd = w * dD
+                    if need_dist:
+                        dm_dd = FARNEAR / jnp.square(dsafe)
+                        dLdd = dLdd + dDist * 2.0 * w * (m * A_n - M1_n) * dm_dd
+                    if need_med:
+                        dLdd = dLdd + jnp.where(is_med, dMed, 0.0)
+                    dLdd = jnp.where(grad_any, dLdd, 0.0)
 
                     gfields, gop_f = _geom_manual_bwd(res, opacity,
                                                       dLdalpha, dLdd)
@@ -722,9 +718,9 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int):
 # custom-VJP core
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _raster_core(blob, padded_idx, starts, counts, order, tiles_x, tiles_y,
-                 interpret):
+                 interpret, need_dist, need_med):
     fb, ints, _ = _core_fwd_impl(blob, padded_idx, starts, counts, order,
                                  tiles_x, tiles_y, interpret)
     return fb
@@ -763,14 +759,14 @@ def _core_fwd_impl(blob, padded_idx, starts, counts, order, tiles_x,
 
 
 def _core_fwd(blob, padded_idx, starts, counts, order, tiles_x, tiles_y,
-              interpret):
+              interpret, need_dist, need_med):
     fb, ints, pblob = _core_fwd_impl(blob, padded_idx, starts, counts, order,
                                      tiles_x, tiles_y, interpret)
     return fb, (blob.shape[0], padded_idx, starts, counts, order, fb, ints,
                 pblob)
 
 
-def _core_bwd(tiles_x, tiles_y, interpret, res, ct_fb):
+def _core_bwd(tiles_x, tiles_y, interpret, need_dist, need_med, res, ct_fb):
     Np1, padded_idx, starts, counts, order, fb, ints, pblob = res
     n_groups = (tiles_x * tiles_y) // STREAMS
     M_pad = padded_idx.shape[0]
@@ -778,7 +774,7 @@ def _core_bwd(tiles_x, tiles_y, interpret, res, ct_fb):
     ct = jnp.stack([ct_fb[:, i] for i in range(11)], axis=1)
     ct = jnp.pad(ct, ((0, 0), (0, CH - 11), (0, 0), (0, 0)))
 
-    kernel = _make_bwd_kernel(tiles_x)
+    kernel = _make_bwd_kernel(tiles_x, need_dist, need_med)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_groups,),
@@ -790,6 +786,7 @@ def _core_bwd(tiles_x, tiles_y, interpret, res, ct_fb):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, CH, 8, 128), lambda t, *_: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
@@ -799,12 +796,16 @@ def _core_bwd(tiles_x, tiles_y, interpret, res, ct_fb):
             pltpu.SemaphoreType.DMA((2, STREAMS)),
         ],
     )
+    # The zeros input is aliased to the gradient output: rows belonging to
+    # chunks the reverse walk never processes need no in-kernel zero-flush.
+    gzero = jnp.zeros((M_pad, F_PAD), jnp.float32)
     grad_padded = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M_pad, F_PAD), jnp.float32),
+        input_output_aliases={7: 0},
         interpret=interpret,
-    )(starts, counts, order, pblob, fb, ints, ct)
+    )(starts, counts, order, pblob, fb, ints, ct, gzero)
 
     grad_blob = jnp.zeros((Np1, F), jnp.float32).at[padded_idx].add(
         grad_padded[:, :F], mode="drop")
@@ -837,8 +838,13 @@ def _fb_to_maps(fb, order, tiles_x, tiles_y):
 
 
 def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
-                    *, max_dup: int = 16, interpret: bool | None = None
+                    *, max_dup: int = 16, interpret: bool | None = None,
+                    need_dist_grad: bool = True, need_med_grad: bool = True
                     ) -> Dict[str, jnp.ndarray]:
+    """`need_dist_grad`/`need_med_grad=False` compile a specialized backward
+    that skips the distortion / median-depth gradient paths (valid whenever
+    the loss never reads rend_dist / the median part of surf_depth, e.g. the
+    default recipe's lambda_dist=0, depth_ratio=0 — BASELINE.md)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     gx_count = -(-width // GROUP)
@@ -848,17 +854,18 @@ def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
     half_wh = jnp.array([0.5 * width, 0.5 * height], jnp.float32)
 
     blob = _build_blob(prep, means2d, half_wh)
-    padded_idx, starts, counts, order, _ = jax.lax.stop_gradient(
+    padded_idx, starts, counts, order, n_dropped = jax.lax.stop_gradient(
         _binning(prep, tiles_x, tiles_y, max_dup))
 
     fb = _raster_core(blob, padded_idx, starts, counts, order, tiles_x,
-                      tiles_y, interpret)
+                      tiles_y, interpret, need_dist_grad, need_med_grad)
     maps = _fb_to_maps(fb, order, tiles_x, tiles_y)[:, :height, :width]
 
     image = maps[0:3] + maps[10][None] * bg[:, None, None]
     allmap = jnp.stack([maps[3], maps[4], maps[5], maps[6], maps[7],
                         maps[8], maps[9]], axis=0)
-    return {"image": image, "allmap": allmap}
+    return {"image": image, "allmap": allmap,
+            "n_dropped": jax.lax.stop_gradient(n_dropped)}
 
 
 def available() -> bool:

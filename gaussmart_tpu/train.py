@@ -14,6 +14,7 @@ recompile); checkpoints are .npz (no pickle).
 from __future__ import annotations
 
 import csv
+import functools
 import json
 import os
 import subprocess
@@ -48,7 +49,11 @@ def training(dataset: ModelParams, opt: OptimizationParams,
              seed: int = 0, quiet: bool = False,
              capacity: Optional[int] = None,
              log_every: int = 10, profile_dir: Optional[str] = None,
-             tensorboard: bool = True, gui=None):
+             tensorboard: bool = True, gui=None, n_devices: int = 1):
+    """`n_devices > 1` trains camera-data-parallel over a JAX device mesh:
+    each step consumes n_devices views, grads/densification stats are
+    psum'd over ICI (equivalent to grad accumulation over the batch —
+    no reference counterpart, SURVEY.md §2.3 capability mapping)."""
     os.makedirs(dataset.model_path, exist_ok=True)
     tb = TensorBoardLogger(dataset.model_path) if tensorboard else None
     scene = Scene(dataset, capacity=capacity, seed=seed)
@@ -70,6 +75,12 @@ def training(dataset: ModelParams, opt: OptimizationParams,
     with open(loss_log_path, "w", newline="") as f:
         csv.DictWriter(f, fieldnames=log_fields).writeheader()
 
+    mesh = None
+    if n_devices > 1:
+        from gaussmart_tpu.parallel.sharding import (make_dp_train_step,
+                                                     make_mesh, replicate)
+        mesh = make_mesh(n_devices)
+
     step_cache = {}
 
     def get_step(st):
@@ -77,11 +88,19 @@ def training(dataset: ModelParams, opt: OptimizationParams,
         # changes force a recompile
         key = st.capacity
         if key not in step_cache:
-            step_cache[key] = make_train_step(
-                opt, sh_degree=st.max_sh_degree,
-                white_background=dataset.white_background,
-                depth_ratio=pipe.depth_ratio, backend=pipe.backend,
-                dino_fn=dino_fn, spatial_lr_scale=st.spatial_lr_scale)
+            if mesh is not None:
+                step_cache[key] = make_dp_train_step(
+                    opt, mesh, sh_degree=st.max_sh_degree,
+                    white_background=dataset.white_background,
+                    depth_ratio=pipe.depth_ratio, backend=pipe.backend,
+                    dino_fn=dino_fn, spatial_lr_scale=st.spatial_lr_scale,
+                    donate=True)
+            else:
+                step_cache[key] = make_train_step(
+                    opt, sh_degree=st.max_sh_degree,
+                    white_background=dataset.white_background,
+                    depth_ratio=pipe.depth_ratio, backend=pipe.backend,
+                    dino_fn=dino_fn, spatial_lr_scale=st.spatial_lr_scale)
         return step_cache[key]
 
     densify_step = make_densify_step(opt, extent=scene.cameras_extent)
@@ -92,8 +111,17 @@ def training(dataset: ModelParams, opt: OptimizationParams,
 
     rnd = Random(seed)
     viewpoint_stack: List[int] = []
+
+    def pop_view():
+        nonlocal viewpoint_stack
+        if not viewpoint_stack:
+            viewpoint_stack = list(range(len(train_cams)))
+        return viewpoint_stack.pop(rnd.randint(0, len(viewpoint_stack) - 1))
+
     key = jax.random.PRNGKey(seed)
     params, aux = state.params, state.aux
+    if mesh is not None:
+        params, adam, aux = replicate((params, adam, aux), mesh)
     it_dev = jnp.asarray(first_iter + 1, jnp.int32)
     ema = {"loss": 0.0, "dist": 0.0, "normal": 0.0, "dino": 0.0}
     t_start = time.time()
@@ -103,13 +131,20 @@ def training(dataset: ModelParams, opt: OptimizationParams,
         if iteration % 1000 == 0 and state.active_sh_degree < state.max_sh_degree:
             state = state.oneup_sh_degree()
 
-        if not viewpoint_stack:
-            viewpoint_stack = list(range(len(train_cams)))
-        idx = viewpoint_stack.pop(rnd.randint(0, len(viewpoint_stack) - 1))
-
         step = get_step(state)
-        params, adam, aux, metrics, it_dev = step(
-            params, adam, aux, cam_params[idx], gt_images[idx], it_dev)
+        if mesh is None:
+            idx = pop_view()
+            params, adam, aux, metrics, it_dev = step(
+                params, adam, aux, cam_params[idx], gt_images[idx], it_dev)
+        else:
+            from gaussmart_tpu.parallel.sharding import (BatchedCameras,
+                                                         shard_batch)
+            idxs = [pop_view() for _ in range(n_devices)]
+            batched = BatchedCameras.stack([cam_params[i] for i in idxs])
+            gts = jnp.stack([gt_images[i] for i in idxs])
+            batched, gts = shard_batch((batched, gts), mesh)
+            params, adam, aux, metrics, it_dev = step(
+                params, adam, aux, batched, gts, it_dev)
 
         # ---- host-side schedule (cheap; all heavy work stays on device) ---
         if iteration % log_every == 0 or iteration == opt.iterations:
@@ -135,6 +170,8 @@ def training(dataset: ModelParams, opt: OptimizationParams,
                 tb.scalar("train_loss_patches/normal_loss", ema["normal"], iteration)
                 tb.scalar("train_loss_patches/dino_loss", ema["dino"], iteration)
                 tb.scalar("total_points", int(m.n_active), iteration)
+                tb.scalar("raster/dropped_duplicates", int(m.n_dropped),
+                          iteration)
                 tb.scalar("iter_time",
                           (time.time() - t_start) / iteration, iteration)
             if len(log_rows) >= 50:
@@ -160,6 +197,10 @@ def training(dataset: ModelParams, opt: OptimizationParams,
                 if int(jax.device_get(dropped)) > 0:
                     state, adam = _grow(state, adam)
                     step_cache.clear()
+                    if mesh is not None:
+                        sp, adam, sa = replicate(
+                            (state.params, adam, state.aux), mesh)
+                        state = state.replace(params=sp, aux=sa)
                 params, aux = state.params, state.aux
             if (iteration % opt.opacity_reset_interval == 0
                     or (dataset.white_background
@@ -259,34 +300,47 @@ def _build_dino_fn(lambda_dino: float, start_iter: int, mode: str):
     return fn
 
 
+@functools.lru_cache(maxsize=None)
+def _make_eval_view(depth_ratio: float, backend: str, white_bg: bool):
+    """Jitted per-view eval, cached at module scope so repeated report_eval
+    calls reuse ONE compiled program per (config, state-capacity) — the
+    closure-over-state version recompiled on every test iteration (minutes
+    on remote TPU backends)."""
+    from gaussmart_tpu.ops.image import psnr as psnr_fn, l1_loss
+    from gaussmart_tpu.ops.ssim import ssim as ssim_fn
+
+    bg = jnp.asarray([1.0, 1.0, 1.0] if white_bg else [0.0, 0.0, 0.0])
+
+    # jit the whole per-view eval: eager dispatch per op is prohibitively
+    # slow through remote-TPU backends
+    @jax.jit
+    def _eval_view(state, cam_params, gt_image):
+        pkg = render(cam_params, state, bg, depth_ratio=depth_ratio,
+                     backend=backend)
+        img = jnp.clip(pkg["render"], 0, 1)
+        gt = jnp.clip(gt_image, 0, 1)
+        return (img, l1_loss(img, gt), psnr_fn(img[None], gt[None])[0, 0],
+                ssim_fn(img, gt), pkg["surf_depth"], pkg["rend_normal"],
+                pkg["rend_alpha"])
+
+    return _eval_view
+
+
 def report_eval(scene: Scene, state, pipe, dataset, iteration, tb=None):
     """In-loop test/train eval (train.py:268-344); LPIPS(alex) included when
     local weights exist (train.py:70)."""
-    from gaussmart_tpu.ops.image import psnr as psnr_fn, l1_loss
-    from gaussmart_tpu.ops.ssim import ssim as ssim_fn
     from gaussmart_tpu.eval import lpips_jax
 
     lpips = lpips_jax.load_lpips("alex")
 
-    bg = jnp.asarray([1.0, 1.0, 1.0] if dataset.white_background
-                     else [0.0, 0.0, 0.0])
     configs = [("test", scene.get_test_cameras())]
     train_cams = scene.get_train_cameras()
     if train_cams:
         configs.append(("train", [train_cams[i % len(train_cams)]
                                   for i in range(5, 30, 5)]))
 
-    # jit the whole per-view eval: eager dispatch per op is prohibitively
-    # slow through remote-TPU backends
-    @jax.jit
-    def _eval_view(cam_params, gt_image):
-        pkg = render(cam_params, state, bg, depth_ratio=pipe.depth_ratio,
-                     backend=pipe.backend)
-        img = jnp.clip(pkg["render"], 0, 1)
-        gt = jnp.clip(gt_image, 0, 1)
-        return (img, l1_loss(img, gt), psnr_fn(img[None], gt[None])[0, 0],
-                ssim_fn(img, gt), pkg["surf_depth"], pkg["rend_normal"],
-                pkg["rend_alpha"])
+    _eval_view = _make_eval_view(pipe.depth_ratio, pipe.backend,
+                                 dataset.white_background)
 
     results = {}
     for name, cams in configs:
@@ -298,7 +352,7 @@ def report_eval(scene: Scene, state, pipe, dataset, iteration, tb=None):
         for vi, cam in enumerate(cams):
             gt = jnp.clip(jnp.asarray(cam.image), 0, 1)
             img, l1v, psnrv, ssimv, surf_depth, rend_normal, rend_alpha = \
-                _eval_view(cam.params(), jnp.asarray(cam.image))
+                _eval_view(state, cam.params(), jnp.asarray(cam.image))
             if tb is not None and vi < 5:
                 import numpy as _np
                 tb.image(f"{name}_view_{cam.image_name}/render",
@@ -365,6 +419,9 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--no_tensorboard", action="store_true")
     parser.add_argument("--gui", action="store_true",
                         help="serve the live viewer during training")
+    parser.add_argument("--n_devices", type=int, default=1,
+                        help="camera-data-parallel training over this many "
+                             "devices of the JAX mesh (grads psum'd on ICI)")
     return parser
 
 
@@ -421,7 +478,8 @@ def main(argv=None):
                  dino_start_iter=args.dino_start_iter,
                  dino_mode=args.dino_mode, seed=args.seed, quiet=args.quiet,
                  capacity=args.capacity,
-                 tensorboard=not args.no_tensorboard, gui=gui)
+                 tensorboard=not args.no_tensorboard, gui=gui,
+                 n_devices=args.n_devices)
     print("\nTraining complete.")
 
 

@@ -33,6 +33,7 @@ class StepMetrics(NamedTuple):
     dino: jnp.ndarray
     psnr: jnp.ndarray
     n_active: jnp.ndarray
+    n_dropped: jnp.ndarray
 
 
 def _loss_and_aux(params: GaussianParams, means2d, aux_state, cam, gt_image,
@@ -60,6 +61,7 @@ def _loss_and_aux(params: GaussianParams, means2d, aux_state, cam, gt_image,
         depth_ratio=depth_ratio,
         backend=backend,
         active_degree=active_degree,
+        need_dist_grad=(opt.lambda_dist != 0.0),
     )
     image = pkg["render"]
     loss, ll1 = photometric_loss(image, gt_image, opt.lambda_dssim)
@@ -73,7 +75,8 @@ def _loss_and_aux(params: GaussianParams, means2d, aux_state, cam, gt_image,
     mse = jnp.mean((jnp.clip(image, 0, 1) - jnp.clip(gt_image, 0, 1)) ** 2)
     psnr = 20.0 * jnp.log10(1.0 / jnp.sqrt(jnp.maximum(mse, 1e-12)))
     extras = dict(radii=pkg["radii"], l1=ll1, dist=dist_loss,
-                  normal=normal_loss, dino=dino, psnr=psnr)
+                  normal=normal_loss, dino=dino, psnr=psnr,
+                  n_dropped=pkg["n_dropped"])
     return total, extras
 
 
@@ -108,7 +111,8 @@ def make_train_step(opt: OptimizationParams, *, sh_degree: int,
         metrics = StepMetrics(
             total=total, l1=extras["l1"], dist=extras["dist"],
             normal=extras["normal"], dino=extras["dino"],
-            psnr=extras["psnr"], n_active=aux_state.active.sum())
+            psnr=extras["psnr"], n_active=aux_state.active.sum(),
+            n_dropped=extras["n_dropped"])
         # device-side counter: callers thread it back in, avoiding a
         # host->device scalar upload every iteration
         return params, adam, aux_state, metrics, iteration + 1

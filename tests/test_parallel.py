@@ -46,15 +46,95 @@ def test_dp_step_runs_and_matches_singlechip_direction(rng):
 
     step = make_dp_train_step(opt, mesh, sh_degree=0, white_background=False,
                               spatial_lr_scale=1.0)
-    params, adam2, aux, metrics = step(
+    params, adam2, aux, metrics, it2 = step(
         state.params, adam, state.aux, batched, gts,
         jnp.asarray(1, jnp.int32))
     assert np.isfinite(float(metrics.total))
+    assert int(it2) == 2
     # params moved
     assert float(jnp.abs(params.xyz - state.params.xyz).max()) > 0
     # densification stats accumulated over all 8 cameras
     denom = np.asarray(aux.denom)
     assert denom.max() > 1.0  # visible in multiple views
+
+
+def test_dp_step_pallas_backend_matches_dense(rng):
+    """The production Pallas kernel under shard_map (interpret on CPU):
+    one DP step with backend='pallas' must match backend='dense'."""
+    mesh = make_mesh()
+    state, cams = make_scene(rng, n=24, width=32, height=32)
+    adam = init_adam(state.params)
+    opt = OptimizationParams()
+
+    batched = BatchedCameras.stack([c.params() for c in cams])
+    gts = jnp.stack([jnp.asarray(rng.random((3, 32, 32)), jnp.float32)
+                     for _ in cams])
+    it0 = jnp.asarray(1, jnp.int32)
+
+    outs = {}
+    for backend in ("dense", "pallas"):
+        step = make_dp_train_step(opt, mesh, sh_degree=0,
+                                  white_background=False,
+                                  spatial_lr_scale=1.0, backend=backend)
+        outs[backend] = step(state.params, adam, state.aux, batched, gts, it0)
+
+    pd, pp = outs["dense"][0], outs["pallas"][0]
+    for name in ("xyz", "scaling", "rotation", "opacity", "features_dc"):
+        d, p = np.asarray(getattr(pd, name)), np.asarray(getattr(pp, name))
+        scale = np.abs(d).max() + 1e-6
+        np.testing.assert_allclose(p, d, atol=5e-3 * scale, rtol=5e-2,
+                                   err_msg=f"DP pallas-vs-dense: {name}")
+    assert abs(float(outs["pallas"][3].total)
+               - float(outs["dense"][3].total)) < 1e-3
+
+
+def test_dp_training_with_densify_via_cli_driver(rng, tmp_path):
+    """training(n_devices=4): N steps including a densify pass + opacity
+    reset on the virtual mesh, through the real driver."""
+    import json
+    import os
+    from PIL import Image
+    from gaussmart_tpu.io.ply import store_point_cloud
+    from gaussmart_tpu.config import (ModelParams, OptimizationParams,
+                                      PipelineParams)
+    from gaussmart_tpu.train import training
+
+    src = tmp_path / "scene"
+    os.makedirs(src / "train")
+    frames = []
+    for i in range(8):
+        img = np.zeros((24, 24, 4), np.uint8)
+        img[6:18, 6:18, 0] = 255
+        img[:, :, 3] = 255
+        Image.fromarray(img, "RGBA").save(src / "train" / f"r_{i}.png")
+        ang = 0.1 * i
+        c, s = np.cos(ang), np.sin(ang)
+        c2w = np.array([[c, 0, s, 0.1 * i], [0, 1, 0, 0],
+                        [-s, 0, c, 3.0], [0, 0, 0, 1.0]])
+        frames.append({"file_path": f"train/r_{i}",
+                       "transform_matrix": c2w.tolist()})
+    for split in ("train", "test"):
+        with open(src / f"transforms_{split}.json", "w") as f:
+            json.dump({"camera_angle_x": 0.8, "frames": frames}, f)
+    pts = rng.uniform(-0.5, 0.5, (64, 3)).astype(np.float32)
+    store_point_cloud(str(src / "points3d.ply"), pts,
+                      rng.integers(0, 255, (64, 3)).astype(np.float64))
+
+    dataset = ModelParams(source_path=str(src),
+                          model_path=str(tmp_path / "out"),
+                          white_background=True, sh_degree=1, resolution=1)
+    opt = OptimizationParams(
+        iterations=25, densify_from_iter=5, densify_until_iter=22,
+        densification_interval=10, opacity_reset_interval=40,
+        opacity_cull=0.005, position_lr_max_steps=25)
+    pipe = PipelineParams(backend="dense")
+    state, adam = training(
+        dataset, opt, pipe, testing_iterations=[], saving_iterations=[25],
+        checkpoint_iterations=[], use_dino_loss=False, quiet=True,
+        capacity=256, n_devices=4)
+    assert int(state.n_active) > 0
+    assert (tmp_path / "out" / "point_cloud" / "iteration_25"
+            / "point_cloud.ply").exists()
 
 
 def test_row_sharded_render_matches_dense(rng):

@@ -124,3 +124,34 @@ def test_giant_splat_budget_truncation_is_centered(rng):
     row = alpha.sum(axis=1)
     np.testing.assert_allclose(col[:64], col[64:][::-1], rtol=0.25, atol=3.0)
     np.testing.assert_allclose(row[:64], row[64:][::-1], rtol=0.25, atol=3.0)
+
+
+def test_specialized_backward_matches_full(rng):
+    """need_dist_grad/need_med_grad=False must give identical gradients to
+    the full backward whenever the loss ignores dist/median channels."""
+    cam, prep0, arrays = prep_scene(rng, n=40)
+    xyz, scales, quats, opac, shs = arrays
+    n = xyz.shape[0]
+
+    def loss(need_flags, xyz, scales, opac, means2d):
+        prep = raster_common.preprocess(xyz, scales, quats, opac, shs,
+                                        jnp.ones(n, bool), cam.params(),
+                                        sh_degree=0)
+        out = rasterize_tiled(prep, means2d, jnp.zeros(3), cam.width,
+                              cam.height, interpret=True,
+                              need_dist_grad=need_flags,
+                              need_med_grad=need_flags)
+        am = out["allmap"]
+        # only color/alpha/expected-depth/normals: dist+median cts are zero
+        return (jnp.sum(out["image"] ** 2) + 0.1 * jnp.sum(am[0])
+                + 0.05 * jnp.sum(am[2:5]) + 0.01 * jnp.sum(am[1]))
+
+    means2d = jnp.zeros((n, 2))
+    gfull = jax.grad(lambda *a: loss(True, *a), argnums=(0, 1, 2, 3))(
+        xyz, scales, opac, means2d)
+    gspec = jax.grad(lambda *a: loss(False, *a), argnums=(0, 1, 2, 3))(
+        xyz, scales, opac, means2d)
+    for nm, gf, gs in zip(["xyz", "scales", "opac", "means2d"], gfull, gspec):
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gf),
+                                   rtol=1e-6, atol=1e-7,
+                                   err_msg=f"specialized bwd mismatch: {nm}")
