@@ -51,8 +51,10 @@ def _conv(x, w, b, stride=1, pad=1):
     return y + b.reshape(1, -1, 1, 1)
 
 
-def _maxpool(x):
-    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 1, 2, 2),
+def _maxpool(x, k=2):
+    """VGG pools 2x2/2; AlexNet pools 3x3/2 (torchvision .features parity —
+    caught by the golden-activation test in tests/test_converters.py)."""
+    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 1, k, k),
                                  (1, 1, 2, 2), "VALID")
 
 
@@ -78,7 +80,7 @@ def _alex_features(params: Dict, x: jnp.ndarray) -> List[jnp.ndarray]:
                               s, p))
         feats.append(x)
         if i in ALEX_POOL_AFTER:
-            x = _maxpool(x)
+            x = _maxpool(x, k=3)
     return feats
 
 

@@ -157,6 +157,119 @@ def make_dp_train_step(opt: OptimizationParams, mesh: Mesh, *,
     return jax.jit(step, donate_argnums=donate_argnums)
 
 
+def render_gaussian_sharded(mesh: Mesh, prep, means2d, bg, width: int,
+                            height: int, chunk: int = 64,
+                            axis: str = "data"):
+    """Splat-sharded rendering (parallel/DESIGN.md §3): splats are depth-
+    sorted and split into mesh-size contiguous strata; each device
+    composites ONLY its stratum (1/D of the splats — the memory-scaling
+    axis for multi-million-splat scenes), and the per-pixel segments are
+    folded across the mesh with the associativity of the `over` operator:
+
+        C = C_near + T_near * C_far,   T = T_near * T_far,
+
+    plus the distortion-moment merge (M1/M2 incoming offsets) and a
+    highest-rank-hit pick for median depth. Exact up to the T_EPS early-
+    termination cutoff (segment weights scale linearly by incoming
+    transmittance only where termination does not bite; T_EPS=1e-4).
+
+    Pass 1 composites every stratum locally (init T=1) and all-gathers the
+    per-pixel transmittance factors + moment totals; pass 2 re-composites
+    with the exact incoming (T, M1, M2) so every accumulator — including
+    the T>0.5 median crossing and A_before in the distortion integral —
+    is computed against GLOBAL state; a psum then combines the per-shard
+    contributions."""
+    from gaussmart_tpu.render.raster_dense import rasterize_pixels
+
+    n_dev = mesh.devices.size
+    N = prep.depth.shape[0]
+
+    # depth-stratified assignment: global sort, contiguous strata
+    sort_key = jnp.where(prep.valid, prep.depth, jnp.inf)
+    order = jnp.argsort(sort_key)
+    n_pad = _round_up_int(N, n_dev)
+
+    def shard_leaf(x):
+        x = x[order]
+        pad = [(0, n_pad - N)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, pad).reshape((n_dev, n_pad // n_dev) + x.shape[1:])
+
+    prep_s = jax.tree.map(shard_leaf, prep)
+    # padded rows must not contribute
+    pad_valid = jnp.pad(prep.valid[order], (0, n_pad - N))
+    prep_s = prep_s._replace(
+        valid=pad_valid.reshape(n_dev, -1),
+        opacity=prep_s.opacity * pad_valid.reshape(n_dev, -1))
+    means2d_s = shard_leaf(means2d)
+
+    def per_device(prep_l, means2d_l, bg_l):
+        prep_l = jax.tree.map(lambda a: a[0], prep_l)
+        means2d_l = means2d_l[0]
+        rank = jax.lax.axis_index(axis)
+
+        # pass 1: local composite (init T=1) -> stratum summary
+        p1 = rasterize_pixels(prep_l, means2d_l, jnp.zeros(3), width, height,
+                              chunk=chunk, return_raw=True)["raw"]
+        factors = jax.lax.all_gather(
+            jnp.stack([p1["T"], p1["M1"], p1["M2"]]), axis)      # [D,3,P]
+        ranks = jnp.arange(n_dev)
+        before = (ranks < rank)[:, None]
+        T_in = jnp.prod(jnp.where(before, factors[:, 0], 1.0), axis=0)
+        # incoming moments: earlier strata's local moments scaled by THEIR
+        # incoming transmittance (w-linearity; exact modulo T_EPS cutoffs)
+        T_in_all = jnp.concatenate([
+            jnp.ones((1,) + T_in.shape),
+            jnp.cumprod(factors[:, 0], axis=0)[:-1]], axis=0)    # [D,P]
+        M1_in = jnp.sum(jnp.where(before, T_in_all * factors[:, 1], 0.0), 0)
+        M2_in = jnp.sum(jnp.where(before, T_in_all * factors[:, 2], 0.0), 0)
+
+        # pass 2: exact re-composite against global incoming state
+        p2 = rasterize_pixels(prep_l, means2d_l, jnp.zeros(3), width, height,
+                              chunk=chunk, return_raw=True,
+                              init_state={"T": T_in, "M1": M1_in,
+                                          "M2": M2_in})["raw"]
+
+        local = {
+            "color": p2["color"], "normal": p2["normal"],
+            "depth": p2["depth"], "alpha": p2["alpha"],
+            "dist": p2["dist"],
+        }
+        tot = jax.tree.map(lambda v: jax.lax.psum(v, axis), local)
+        T_total = jnp.prod(factors[:, 0], axis=0)
+
+        # median: the deepest stratum that recorded a T>0.5 crossing wins
+        hit = p2["median"] > 0
+        r_hit = jnp.where(hit, rank, -1)
+        r_star = jax.lax.pmax(r_hit, axis)
+        med = jax.lax.psum(jnp.where(r_hit == r_star, p2["median"], 0.0),
+                           axis)
+
+        image = tot["color"] + T_total[None, :] * bg_l[:, None]
+        allmap = jnp.stack([
+            tot["depth"], tot["alpha"],
+            tot["normal"][0], tot["normal"][1], tot["normal"][2],
+            med, tot["dist"]], axis=0)
+        return (image.reshape(3, height, width),
+                allmap.reshape(7, height, width))
+
+    fn = jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P_spec_tree(prep_s, axis), P(axis), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    image, allmap = fn(prep_s, means2d_s, bg)
+    return {"image": image, "allmap": allmap}
+
+
+def P_spec_tree(tree, axis: str):
+    return jax.tree.map(lambda _: P(axis), tree,
+                        is_leaf=lambda x: hasattr(x, "shape"))
+
+
+def _round_up_int(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
 def render_row_sharded(mesh: Mesh, prep, means2d, bg, width: int, height: int,
                        chunk: int = 64, axis: str = "data"):
     """Shard image rows over devices; splats replicated. Exact: compositing

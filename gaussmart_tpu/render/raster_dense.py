@@ -163,8 +163,16 @@ def rasterize_pixels(
     chunk: int = 64,
     rows: int | None = None,      # render only `rows` rows (pixel sharding)
     row_offset=0,                 # first row index (may be traced)
+    init_state: Dict[str, jnp.ndarray] | None = None,
+    return_raw: bool = False,
 ) -> Dict[str, jnp.ndarray]:
-    """Composite preprocessed splats into an image + 7-channel aux map."""
+    """Composite preprocessed splats into an image + 7-channel aux map.
+
+    `init_state` (optional) seeds the per-pixel compositing carry — flat
+    [P]-shaped "T", "M1", "M2" — so a depth-contiguous SEGMENT of a larger
+    splat set can be composited exactly (Gaussian-sharded rendering,
+    parallel/DESIGN.md §3). `return_raw=True` additionally returns the raw
+    final carry (premultiplied color, transmittance, moments)."""
     N = prep.depth.shape[0]
     if rows is None:
         rows = height
@@ -214,6 +222,9 @@ def rasterize_pixels(
         "dist": jnp.zeros((P,), jnp.float32),
         "median": jnp.zeros((P,), jnp.float32),
     }
+    if init_state is not None:
+        init.update({k: jnp.asarray(v) for k, v in init_state.items()})
+        init["done"] = init["done"] | (init["T"] < T_EPS)
 
     body = functools.partial(_chunk_body, px=px, py=py, half_wh=half_wh)
 
@@ -231,7 +242,10 @@ def rasterize_pixels(
         final["median"],
         final["dist"],
     ], axis=0)
-    return {
+    out = {
         "image": image.reshape(3, rows, width),
         "allmap": allmap.reshape(7, rows, width),
     }
+    if return_raw:
+        out["raw"] = final
+    return out

@@ -30,7 +30,8 @@ DEFAULT_PATHS = [
 ]
 
 
-def _layer_norm(x, g, b, eps=1e-6):
+def _layer_norm(x, g, b, eps=1e-12):
+    # eps matches HF ViT/DINO layer_norm_eps (golden test: test_converters)
     mu = x.mean(-1, keepdims=True)
     var = ((x - mu) ** 2).mean(-1, keepdims=True)
     return (x - mu) * jax.lax.rsqrt(var + eps) * g + b
@@ -60,7 +61,9 @@ def _block(x, p, i, n_heads):
     h = _layer_norm(x, p[f"{pre}.norm1_g"], p[f"{pre}.norm1_b"])
     x = x + _attention(h, p, f"{pre}.attn", n_heads)
     h = _layer_norm(x, p[f"{pre}.norm2_g"], p[f"{pre}.norm2_b"])
-    h = jax.nn.gelu(h @ p[f"{pre}.fc1_w"] + p[f"{pre}.fc1_b"])
+    # exact (erf) GELU — HF "gelu"; jax defaults to the tanh approximation
+    h = jax.nn.gelu(h @ p[f"{pre}.fc1_w"] + p[f"{pre}.fc1_b"],
+                    approximate=False)
     return x + (h @ p[f"{pre}.fc2_w"] + p[f"{pre}.fc2_b"])
 
 

@@ -1,0 +1,251 @@
+"""Generate a realistic COLMAP-format validation scene with ray-traced GT.
+
+The GT images come from an analytic CPU ray tracer (textured sphere,
+checkerboard ground plane, two boxes, Lambertian lighting) — fully
+independent of the framework's own rasterizer, so training against them is
+an honest end-to-end optimization benchmark (VERDICT round-1 task 6).
+
+Outputs under --out:
+  images/r_XX.png              ray-traced views
+  sparse/0/{cameras,images,points3D}.txt   COLMAP text model
+  gt_surface_points.npy        dense GT surface samples (Chamfer reference)
+
+Usage: python scripts/make_synthetic_scene.py --out /tmp/scene24 \
+           [--views 32] [--width 776] [--height 584] [--sfm_points 30000]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PLANE_Y = -0.8
+SPHERE_C = np.array([0.0, -0.1, 0.0])
+SPHERE_R = 0.65
+BOX1 = (np.array([-1.15, PLANE_Y, -0.35]), np.array([-0.55, -0.15, 0.25]))
+BOX2 = (np.array([0.6, PLANE_Y, 0.15]), np.array([1.1, -0.35, 0.65]))
+LIGHTS = [(np.array([0.4, 0.8, 0.45]), 0.85), (np.array([-0.6, 0.5, -0.6]), 0.45)]
+AMBIENT = 0.25
+
+
+def _checker(p):
+    c = (np.floor(p[..., 0] * 2.0) + np.floor(p[..., 2] * 2.0)) % 2
+    col = np.where(c[..., None] > 0.5,
+                   np.array([0.85, 0.82, 0.78]), np.array([0.25, 0.3, 0.4]))
+    return col
+
+
+def _sphere_tex(p):
+    d = (p - SPHERE_C) / SPHERE_R
+    phi = np.arctan2(d[..., 2], d[..., 0])
+    theta = np.arccos(np.clip(d[..., 1], -1, 1))
+    stripes = 0.5 + 0.5 * np.sin(6.0 * phi) * np.sin(5.0 * theta)
+    base = np.stack([0.9 * stripes + 0.05, 0.25 + 0.45 * (1 - stripes),
+                     0.3 + 0.2 * np.sin(3 * phi)], axis=-1)
+    return np.clip(base, 0, 1)
+
+
+def _box_hit(o, d, lo, hi):
+    inv = 1.0 / np.where(np.abs(d) < 1e-9, 1e-9, d)
+    t0 = (lo - o) * inv
+    t1 = (hi - o) * inv
+    tmin = np.minimum(t0, t1).max(axis=-1)
+    tmax = np.maximum(t0, t1).min(axis=-1)
+    hit = (tmax > np.maximum(tmin, 1e-4))
+    return np.where(hit, tmin, np.inf)
+
+
+def _box_normal(p, lo, hi):
+    eps = 1e-4
+    n = np.zeros_like(p)
+    for ax in range(3):
+        n[..., ax] = np.where(np.abs(p[..., ax] - lo[ax]) < eps, -1.0,
+                              np.where(np.abs(p[..., ax] - hi[ax]) < eps,
+                                       1.0, 0.0))
+    return n
+
+
+def trace(o, d):
+    """o,d: [..., 3] rays -> rgb [...,3], hit point [...,3], mask [...]."""
+    best_t = np.full(d.shape[:-1], np.inf)
+    rgb = np.zeros(d.shape[:-1] + (3,))
+    normal = np.zeros_like(rgb)
+    mat = np.zeros(d.shape[:-1], np.int32)  # 0 none 1 plane 2 sphere 3/4 box
+
+    # plane (bounded to the scene extent so geometry stays finite)
+    tp = (PLANE_Y - o[..., 1]) / np.where(np.abs(d[..., 1]) < 1e-9, 1e-9,
+                                          d[..., 1])
+    pp = o + tp[..., None] * d
+    inb = (np.abs(pp[..., 0]) < 2.2) & (np.abs(pp[..., 2]) < 2.2)
+    ok = (tp > 1e-4) & (tp < best_t) & inb
+    best_t = np.where(ok, tp, best_t)
+    mat = np.where(ok, 1, mat)
+
+    # sphere
+    oc = o - SPHERE_C
+    b = np.sum(oc * d, axis=-1)
+    c = np.sum(oc * oc, axis=-1) - SPHERE_R ** 2
+    disc = b * b - c
+    ts = -b - np.sqrt(np.maximum(disc, 0))
+    ok = (disc > 0) & (ts > 1e-4) & (ts < best_t)
+    best_t = np.where(ok, ts, best_t)
+    mat = np.where(ok, 2, mat)
+
+    for mi, (lo, hi) in ((3, BOX1), (4, BOX2)):
+        tb = _box_hit(o, d, lo, hi)
+        ok = tb < best_t
+        best_t = np.where(ok, tb, best_t)
+        mat = np.where(ok, mi, mat)
+
+    hit = np.isfinite(best_t)
+    t = np.where(hit, best_t, 0.0)
+    p = o + t[..., None] * d
+
+    # normals + albedo per material
+    albedo = np.zeros_like(rgb)
+    albedo = np.where((mat == 1)[..., None], _checker(p), albedo)
+    normal = np.where((mat == 1)[..., None], np.array([0.0, 1.0, 0.0]), normal)
+    albedo = np.where((mat == 2)[..., None], _sphere_tex(p), albedo)
+    sn = (p - SPHERE_C) / SPHERE_R
+    normal = np.where((mat == 2)[..., None], sn, normal)
+    for mi, (lo, hi), col in ((3, BOX1, np.array([0.8, 0.45, 0.2])),
+                              (4, BOX2, np.array([0.3, 0.65, 0.75]))):
+        albedo = np.where((mat == mi)[..., None], col, albedo)
+        normal = np.where((mat == mi)[..., None], _box_normal(p, lo, hi),
+                          normal)
+
+    shade = AMBIENT * np.ones(d.shape[:-1])
+    for ldir, lint in LIGHTS:
+        ld = ldir / np.linalg.norm(ldir)
+        shade = shade + lint * np.maximum(np.sum(normal * ld, axis=-1), 0.0)
+    rgb = np.clip(albedo * shade[..., None], 0, 1)
+    rgb = np.where(hit[..., None], rgb, np.array([1.0, 1.0, 1.0]))  # white bg
+    return rgb, p, hit, mat
+
+
+def camera_ring(n_views, radius=3.1, height_amp=0.75):
+    cams = []
+    for i in range(n_views):
+        ang = 2 * np.pi * i / n_views
+        h = 0.55 + height_amp * (0.5 + 0.5 * np.sin(3 * ang + 0.7))
+        eye = np.array([radius * np.cos(ang), h, radius * np.sin(ang)])
+        target = np.array([0.0, -0.25, 0.0])
+        fwd = target - eye
+        fwd /= np.linalg.norm(fwd)
+        right = np.cross(fwd, np.array([0.0, 1.0, 0.0]))
+        right /= np.linalg.norm(right)
+        up = np.cross(right, fwd)
+        # world->cam rotation rows: x=right, y=-up (image y down), z=fwd
+        R = np.stack([right, -up, fwd])            # [3,3] w2c
+        t = -R @ eye
+        cams.append((R, t, eye))
+    return cams
+
+
+def render_view(R, t, eye, W, H, f):
+    ys, xs = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5,
+                         indexing="ij")
+    dirs_cam = np.stack([(xs - W / 2) / f, (ys - H / 2) / f,
+                         np.ones_like(xs)], axis=-1)
+    dirs = dirs_cam @ R            # R^T @ d per pixel (rows are axes)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    o = np.broadcast_to(eye, dirs.shape)
+    rgb, _, _, _ = trace(o, dirs)
+    return rgb
+
+
+def sample_surface(n, rng):
+    """GT surface samples with albedo colors (for SfM cloud + Chamfer)."""
+    pts, cols = [], []
+    # proportional-ish areas
+    n_sph = n // 3
+    n_pl = n // 3
+    n_box = n - n_sph - n_pl
+    v = rng.normal(size=(n_sph, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    p = SPHERE_C + SPHERE_R * v
+    keep = p[:, 1] > PLANE_Y
+    pts.append(p[keep])
+    cols.append(_sphere_tex(p[keep]))
+    p = np.stack([rng.uniform(-2.2, 2.2, n_pl), np.full(n_pl, PLANE_Y),
+                  rng.uniform(-2.2, 2.2, n_pl)], axis=1)
+    pts.append(p)
+    cols.append(_checker(p))
+    for (lo, hi), col in ((BOX1, np.array([0.8, 0.45, 0.2])),
+                          (BOX2, np.array([0.3, 0.65, 0.75]))):
+        m = n_box // 2
+        face = rng.integers(0, 5, m)  # skip bottom face
+        u = rng.uniform(0, 1, (m, 3))
+        p = lo + u * (hi - lo)
+        for ax, side in ((0, 0), (0, 1), (2, 0), (2, 1), (1, 1)):
+            sel = face == (ax * 2 + side if ax < 1 else
+                           (2 + side if ax == 2 else 4))
+            p[sel, ax] = (hi if side else lo)[ax]
+        pts.append(p)
+        cols.append(np.broadcast_to(col, p.shape).copy())
+    return np.concatenate(pts), np.clip(np.concatenate(cols), 0, 1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--views", type=int, default=32)
+    ap.add_argument("--width", type=int, default=776)
+    ap.add_argument("--height", type=int, default=584)
+    ap.add_argument("--focal", type=float, default=700.0)
+    ap.add_argument("--sfm_points", type=int, default=30000)
+    ap.add_argument("--gt_points", type=int, default=200000)
+    args = ap.parse_args()
+
+    from PIL import Image
+    from gaussmart_tpu.io.colmap import (ColmapCamera, ColmapImage,
+                                         rotmat2qvec, write_cameras_text,
+                                         write_images_text)
+
+    rng = np.random.default_rng(7)
+    os.makedirs(os.path.join(args.out, "images"), exist_ok=True)
+    sparse = os.path.join(args.out, "sparse/0")
+    os.makedirs(sparse, exist_ok=True)
+
+    cams = camera_ring(args.views)
+    intr = {1: ColmapCamera(1, "PINHOLE", args.width, args.height,
+                            np.array([args.focal, args.focal,
+                                      args.width / 2, args.height / 2]))}
+    write_cameras_text(os.path.join(sparse, "cameras.txt"), intr)
+
+    images = {}
+    for i, (R, t, eye) in enumerate(cams):
+        rgb = render_view(R, t, eye, args.width, args.height, args.focal)
+        name = f"r_{i:02d}.png"
+        Image.fromarray((rgb * 255).astype(np.uint8)).save(
+            os.path.join(args.out, "images", name))
+        images[i + 1] = ColmapImage(i + 1, rotmat2qvec(R), t, 1, name)
+        print(f"rendered {name}")
+    write_images_text(os.path.join(sparse, "images.txt"), images)
+
+    # SfM-like sparse cloud: surface samples + noise + a few outliers
+    pts, cols = sample_surface(args.sfm_points, rng)
+    pts = pts + rng.normal(0, 0.004, pts.shape)
+    n_out = max(1, len(pts) // 200)
+    outliers = rng.uniform(-4, 4, (n_out, 3))
+    pts = np.concatenate([pts, outliers])
+    cols = np.concatenate([cols, rng.uniform(0, 1, (n_out, 3))])
+    with open(os.path.join(sparse, "points3D.txt"), "w") as f:
+        f.write("# 3D point list\n")
+        for j, (p, c) in enumerate(zip(pts, cols)):
+            r, g, b = (np.clip(c, 0, 1) * 255).astype(int)
+            f.write(f"{j} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} {r} {g} {b} 0.5\n")
+
+    gt_pts, _ = sample_surface(args.gt_points, rng)
+    np.save(os.path.join(args.out, "gt_surface_points.npy"),
+            gt_pts.astype(np.float32))
+    print(f"scene written to {args.out}: {args.views} views, "
+          f"{len(pts)} sfm points, {len(gt_pts)} GT surface samples")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""Weight-converter numerics pinned against the torch originals.
+
+VERDICT round-1 task 7: the DINO/LPIPS converters were shape-checked only;
+these tests build the REAL torch reference architectures (random weights —
+no egress for pretrained checkpoints in this image), run the converters,
+and assert activation-level agreement, so the JAX towers are trusted the
+moment real weights appear.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+def test_dino_converter_matches_hf_vit(tmp_path):
+    """convert_hf_dino + DinoEncoder == transformers ViTModel post-LN CLS
+    (the layout the converter targets: encoder.layer.N.attention...)."""
+    from transformers import ViTConfig, ViTModel
+
+    from gaussmart_tpu.semantics.dino import (IMAGENET_MEAN, IMAGENET_STD,
+                                              DinoEncoder, convert_hf_dino)
+
+    cfg = ViTConfig(image_size=64, patch_size=16, hidden_size=96,
+                    num_attention_heads=3, intermediate_size=192,
+                    num_hidden_layers=2)
+    torch.manual_seed(0)
+    model = ViTModel(cfg, add_pooling_layer=False).eval()
+    hf_dir = tmp_path / "hf_vit"
+    model.save_pretrained(hf_dir)
+
+    npz = convert_hf_dino(str(hf_dir), str(tmp_path / "dino.npz"))
+    with np.load(npz) as z:
+        params = {k: z[k] for k in z.files}
+    enc = DinoEncoder(params, patch=16, n_heads=3, image_size=64)
+
+    rng = np.random.default_rng(1)
+    img = rng.random((3, 64, 64)).astype(np.float32)
+    ours = np.asarray(enc(img))
+
+    x = (img - IMAGENET_MEAN[:, None, None]) / IMAGENET_STD[:, None, None]
+    with torch.no_grad():
+        out = model(pixel_values=torch.from_numpy(x[None]))
+    theirs = out.last_hidden_state[0, 0].numpy()
+
+    np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=1e-3)
+
+
+def _torch_alex_lpips():
+    """Reference-faithful AlexNet LPIPS (lpipsPyTorch/modules semantics)
+    with random conv weights, in the torchvision `features.N` key layout
+    the converter expects."""
+    import torch.nn as nn
+
+    features = nn.Sequential(
+        nn.Conv2d(3, 64, 11, 4, 2), nn.ReLU(), nn.MaxPool2d(3, 2),
+        nn.Conv2d(64, 192, 5, 1, 2), nn.ReLU(), nn.MaxPool2d(3, 2),
+        nn.Conv2d(192, 384, 3, 1, 1), nn.ReLU(),
+        nn.Conv2d(384, 256, 3, 1, 1), nn.ReLU(),
+        nn.Conv2d(256, 256, 3, 1, 1), nn.ReLU(), nn.MaxPool2d(3, 2))
+    taps = [1, 4, 7, 9, 11]          # relu outputs
+    lins = nn.ModuleDict()
+    for i, c in enumerate([64, 192, 384, 256, 256]):
+        lins[f"lin{i}"] = nn.Module()
+        lins[f"lin{i}"].model = nn.Sequential(
+            nn.Dropout(), nn.Conv2d(c, 1, 1, bias=False))
+        torch.nn.init.uniform_(lins[f"lin{i}"].model[1].weight, 0.0, 0.1)
+
+    shift = torch.tensor([-.030, -.088, -.188])[None, :, None, None]
+    scale = torch.tensor([.458, .448, .450])[None, :, None, None]
+
+    def norm(t, eps=1e-10):
+        return t / (t.pow(2).sum(1, keepdim=True).sqrt() + eps)
+
+    @torch.no_grad()
+    def score(x, y):
+        x = (x - shift) / scale
+        y = (y - shift) / scale
+        total = 0.0
+        fx, fy = x, y
+        for i, m in enumerate(features):
+            fx, fy = m(fx), m(fy)
+            if i in taps:
+                j = taps.index(i)
+                d = (norm(fx) - norm(fy)).pow(2)
+                total = total + lins[f"lin{j}"].model[1](d).mean([2, 3])
+        return float(total.sum())
+
+    backbone_sd = {f"features.{k}": v.detach()
+                   for k, v in features.state_dict().items()}
+    lin_sd = {f"{n}.model.1.weight": m.model[1].weight.detach()
+              for n, m in lins.items()}
+    return score, backbone_sd, lin_sd
+
+
+def test_lpips_converter_matches_torch(tmp_path):
+    """convert_torch_lpips + LPIPS(JAX, alex) == reference torch LPIPS."""
+    from gaussmart_tpu.eval import lpips_jax
+
+    torch.manual_seed(0)
+    score, backbone_sd, lin_sd = _torch_alex_lpips()
+
+    npz = lpips_jax.convert_torch_lpips(backbone_sd, lin_sd, "alex",
+                                        str(tmp_path / "alex.npz"))
+    with np.load(npz) as z:
+        params = {k: z[k] for k in z.files}
+    jl = lpips_jax.LPIPS(params, "alex")
+
+    rng = np.random.default_rng(2)
+    a = rng.random((3, 64, 64)).astype(np.float32)
+    b = rng.random((3, 64, 64)).astype(np.float32)
+
+    ours = float(np.asarray(jl(a, b))[0])
+    theirs = score(torch.from_numpy(a[None]) * 2 - 1,
+                   torch.from_numpy(b[None]) * 2 - 1)
+    np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=1e-3)
+
+
+def test_lpips_vgg_converter_matches_torch(tmp_path):
+    """Same for the VGG16 backbone (the offline-metrics default)."""
+    import torch.nn as nn
+    from gaussmart_tpu.eval import lpips_jax
+
+    torch.manual_seed(1)
+    layers = []
+    cin = 3
+    taps_ch = []
+    cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+           512, 512, 512, "M", 512, 512, 512, "M"]
+    tap_relu = {3, 8, 15, 22, 29}   # torchvision vgg16 relu indices
+    for v in cfg:
+        if v == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers.append(nn.Conv2d(cin, v, 3, 1, 1))
+            layers.append(nn.ReLU())
+            cin = v
+    features = nn.Sequential(*layers)
+    taps = sorted(tap_relu)
+    lins = {}
+    for i, c in enumerate([64, 128, 256, 512, 512]):
+        w = torch.rand(1, c, 1, 1) * 0.1
+        lins[f"lin{i}.model.1.weight"] = w
+
+    shift = torch.tensor([-.030, -.088, -.188])[None, :, None, None]
+    scale = torch.tensor([.458, .448, .450])[None, :, None, None]
+
+    def norm(t, eps=1e-10):
+        return t / (t.pow(2).sum(1, keepdim=True).sqrt() + eps)
+
+    @torch.no_grad()
+    def score(x, y):
+        x, y = (x - shift) / scale, (y - shift) / scale
+        total, fx, fy = 0.0, x, y
+        for i, m in enumerate(features):
+            fx, fy = m(fx), m(fy)
+            if i in taps:
+                j = taps.index(i)
+                d = (norm(fx) - norm(fy)).pow(2)
+                total = total + (d * lins[f"lin{j}.model.1.weight"]).sum(
+                    1, keepdim=True).mean([2, 3])
+        return float(total.sum())
+
+    backbone_sd = {f"features.{k}": v.detach()
+                   for k, v in features.state_dict().items()}
+    npz = lpips_jax.convert_torch_lpips(backbone_sd, lins, "vgg",
+                                        str(tmp_path / "vgg.npz"))
+    with np.load(npz) as z:
+        params = {k: z[k] for k in z.files}
+    jl = lpips_jax.LPIPS(params, "vgg")
+
+    rng = np.random.default_rng(3)
+    a = rng.random((3, 64, 64)).astype(np.float32)
+    b = rng.random((3, 64, 64)).astype(np.float32)
+    ours = float(np.asarray(jl(a, b))[0])
+    theirs = score(torch.from_numpy(a[None]) * 2 - 1,
+                   torch.from_numpy(b[None]) * 2 - 1)
+    np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=1e-3)

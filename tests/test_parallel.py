@@ -154,3 +154,67 @@ def test_row_sharded_render_matches_dense(rng):
                                np.asarray(ref["image"]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(out["allmap"]),
                                np.asarray(ref["allmap"]), atol=1e-5)
+
+
+def test_gaussian_sharded_render_matches_dense(rng):
+    """Splat-sharded rendering (8 depth strata on the virtual mesh) must
+    match the single-device dense composite, including median depth and
+    the distortion integral."""
+    from gaussmart_tpu.parallel.sharding import render_gaussian_sharded
+
+    mesh = make_mesh()
+    state, cams = make_scene(rng, n=32, width=32, height=24)
+    cam = cams[0].params()
+    prep = raster_common.preprocess(
+        state.params.xyz, state.get_scaling, state.params.rotation,
+        state.get_opacity[:, 0], state.get_features, state.aux.active,
+        cam, sh_degree=0)
+    means2d = jnp.zeros((state.capacity, 2))
+    bg = jnp.array([0.2, 0.1, 0.4])
+
+    ref = rasterize_pixels(prep, means2d, bg, 32, 24, chunk=8)
+    out = render_gaussian_sharded(mesh, prep, means2d, bg, 32, 24, chunk=8)
+    np.testing.assert_allclose(np.asarray(out["image"]),
+                               np.asarray(ref["image"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["allmap"]),
+                               np.asarray(ref["allmap"]), atol=2e-3)
+
+
+def test_gaussian_sharded_dense_overlap(rng):
+    """Saturating overlap exercises the cross-stratum T_EPS cutoff and the
+    median crossing landing mid-stratum."""
+    from gaussmart_tpu.parallel.sharding import render_gaussian_sharded
+
+    mesh = make_mesh()
+    n = 48
+    pts = np.stack([rng.uniform(-0.2, 0.2, n), rng.uniform(-0.2, 0.2, n),
+                    rng.uniform(2.0, 4.0, n)], axis=1).astype(np.float32)
+    from gaussmart_tpu.models.gaussians import init_from_pcd
+    state = init_from_pcd(pts, rng.random((n, 3)).astype(np.float32), None,
+                          max_sh_degree=0, spatial_lr_scale=1.0, capacity=48)
+    import dataclasses as dc
+    from gaussmart_tpu.transforms import inverse_sigmoid
+    op = np.full(n, 0.8, np.float32)
+    state = state.replace(params=dc.replace(
+        state.params,
+        opacity=state.params.opacity.at[:, 0].set(
+            np.asarray(inverse_sigmoid(op)))))
+    cam = Camera(uid=0, colmap_id=0, image_name="c", R=np.eye(3),
+                 T=np.zeros(3), fovx=0.9, fovy=0.7, width=32,
+                 height=24).params()
+    prep = raster_common.preprocess(
+        state.params.xyz, state.get_scaling, state.params.rotation,
+        state.get_opacity[:, 0], state.get_features, state.aux.active,
+        cam, sh_degree=0)
+    means2d = jnp.zeros((n, 2))
+    bg = jnp.zeros(3)
+    ref = rasterize_pixels(prep, means2d, bg, 32, 24, chunk=8)
+    out = render_gaussian_sharded(mesh, prep, means2d, bg, 32, 24, chunk=8)
+    np.testing.assert_allclose(np.asarray(out["image"]),
+                               np.asarray(ref["image"]), atol=5e-4)
+    am_o, am_r = np.asarray(out["allmap"]), np.asarray(ref["allmap"])
+    np.testing.assert_allclose(am_o[[0, 1, 2, 3, 4, 6]],
+                               am_r[[0, 1, 2, 3, 4, 6]], atol=5e-3)
+    # median: discrete pick; allow rare boundary flips
+    med_mismatch = np.mean(np.abs(am_o[5] - am_r[5]) > 1e-3)
+    assert med_mismatch < 0.02, med_mismatch
