@@ -603,7 +603,8 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int):
+def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
+             n_giants: int = 256, giant_dup: int = 240):
     """Duplicate-expand over 16x16 tiles and sort by a packed (tile|depth)
     int32 key into a per-tile K-aligned layout — with ONE sort and no
     scatter/compaction ops.
@@ -635,13 +636,30 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int):
     nx = jnp.where(valid, tx1 - tx0, 0)
     ny = jnp.where(valid, ty1 - ty0, 0)
     n_want = nx * ny
-    n_dropped = jnp.maximum(n_want - max_dup, 0).sum()
+
+    # Overflow pass (two-tier budget): the top `n_giants` splats by wanted
+    # footprint get `max_dup + giant_dup` duplicate slots — the first
+    # max_dup live in the dense [N, max_dup] tier-1 table, the remainder in
+    # a small [B, giant_dup] tier-2 table folded into the SAME sort. This
+    # bounds the post-opacity-reset / early-training truncation error
+    # (VERDICT r1 task 5; the CUDA reference never truncates,
+    # rasterize_points.cu) at ~8% extra sort entries.
+    use_giants = n_giants > 0 and giant_dup > 0 and N > 1
+    if use_giants:
+        B = min(n_giants, N)
+        top_vals, top_idx = jax.lax.top_k(n_want, B)
+        giant = jnp.zeros(N, bool).at[top_idx].set(top_vals > max_dup)
+        budget = jnp.where(giant, max_dup + giant_dup, max_dup)
+    else:
+        budget = jnp.full_like(n_want, max_dup)
+    n_dropped = jnp.maximum(n_want - budget, 0).sum()
 
     # Splats whose footprint exceeds the budget keep a rect shrunk
     # SYMMETRICALLY around their center tile (isotropic skirt truncation)
     # rather than losing trailing tiles in raster order.
-    over = n_want > max_dup
-    scale = jnp.sqrt(max_dup / jnp.maximum(n_want, 1).astype(jnp.float32))
+    over = n_want > budget
+    scale = jnp.sqrt(budget.astype(jnp.float32)
+                     / jnp.maximum(n_want, 1).astype(jnp.float32))
     nx_c = jnp.where(over, jnp.maximum(
         (nx.astype(jnp.float32) * scale).astype(jnp.int32), 1), nx)
     ny_c = jnp.where(over, jnp.maximum(
@@ -683,17 +701,38 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int):
     packed = jnp.where(dup_valid & (tile < n_tiles), packed, BIG)
 
     n_valid = dup_valid.reshape(-1).sum()
+    keys_flat = [packed.reshape(-1)]
+    sidx_flat = [sidx.reshape(-1)]
+    if use_giants:
+        # tier-2: duplicate slots [max_dup, max_dup+giant_dup) of each
+        # giant's (already centered/clamped) rect
+        jj = (jnp.arange(giant_dup, dtype=jnp.int32)[None, :] + max_dup)
+        g_nx = jnp.maximum(nx[top_idx], 1)[:, None]
+        g_valid = jj < n_want[top_idx][:, None]
+        g_tile = ((ty0[top_idx][:, None] + jj // g_nx) * tiles_x
+                  + (tx0[top_idx][:, None] + jj % g_nx))
+        g_packed = jnp.where(
+            g_valid & (g_tile < n_tiles),
+            g_tile * (1 << db) + dq[top_idx][:, None], BIG)
+        keys_flat.append(g_packed.reshape(-1))
+        sidx_flat.append(jnp.broadcast_to(top_idx[:, None],
+                                          g_tile.shape).reshape(-1))
+        n_valid = n_valid + g_valid.reshape(-1).sum()
+
     tids = jnp.arange(n_tiles, dtype=jnp.int32)
     filler_keys = jnp.repeat(tids, K) * (1 << db) + ((1 << db) - 1)
-    keys_all = jnp.concatenate([packed.reshape(-1), filler_keys])
+    keys_all = jnp.concatenate(keys_flat + [filler_keys])
     sidx_all = jnp.concatenate(
-        [sidx.reshape(-1), jnp.full((n_tiles * K,), N, jnp.int32)])
+        sidx_flat + [jnp.full((n_tiles * K,), N, jnp.int32)])
     keys_s, sidx_s = jax.lax.sort((keys_all, sidx_all), num_keys=1)
 
     # Keep a ~3N real-entry work budget (+ the fillers); real entries past
     # it (only possible when the scene overflows 3N duplicates) are dropped
     # and counted. +K safety rows so the last tile's chunked DMA never runs
     # off the array.
+    # Tier-2 entries ride in the 3N budget's slack (typical real duplicate
+    # counts are well under 3N); a genuinely overflowing scene drops the
+    # deepest-keyed entries and counts them, exactly as before.
     M_keep = min(_round_up(max(3 * N, 4096), K) + n_tiles * K,
                  keys_all.shape[0])
     keys_k = jax.lax.slice(keys_s, (0,), (M_keep,))
@@ -838,7 +877,8 @@ def _fb_to_maps(fb, order, tiles_x, tiles_y):
 
 
 def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
-                    *, max_dup: int = 16, interpret: bool | None = None,
+                    *, max_dup: int = 16, n_giants: int = 256,
+                    giant_dup: int = 240, interpret: bool | None = None,
                     need_dist_grad: bool = True, need_med_grad: bool = True
                     ) -> Dict[str, jnp.ndarray]:
     """`need_dist_grad`/`need_med_grad=False` compile a specialized backward
@@ -855,7 +895,8 @@ def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
 
     blob = _build_blob(prep, means2d, half_wh)
     padded_idx, starts, counts, order, n_dropped = jax.lax.stop_gradient(
-        _binning(prep, tiles_x, tiles_y, max_dup))
+        _binning(prep, tiles_x, tiles_y, max_dup,
+                 n_giants=n_giants, giant_dup=giant_dup))
 
     fb = _raster_core(blob, padded_idx, starts, counts, order, tiles_x,
                       tiles_y, interpret, need_dist_grad, need_med_grad)

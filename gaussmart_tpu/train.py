@@ -49,7 +49,8 @@ def training(dataset: ModelParams, opt: OptimizationParams,
              seed: int = 0, quiet: bool = False,
              capacity: Optional[int] = None,
              log_every: int = 10, profile_dir: Optional[str] = None,
-             tensorboard: bool = True, gui=None, n_devices: int = 1):
+             tensorboard: bool = True, gui=None, n_devices: int = 1,
+             adam_on_densify: str = "apply"):
     """`n_devices > 1` trains camera-data-parallel over a JAX device mesh:
     each step consumes n_devices views, grads/densification stats are
     psum'd over ICI (equivalent to grad accumulation over the batch —
@@ -100,7 +101,8 @@ def training(dataset: ModelParams, opt: OptimizationParams,
                     opt, sh_degree=st.max_sh_degree,
                     white_background=dataset.white_background,
                     depth_ratio=pipe.depth_ratio, backend=pipe.backend,
-                    dino_fn=dino_fn, spatial_lr_scale=st.spatial_lr_scale)
+                    dino_fn=dino_fn, spatial_lr_scale=st.spatial_lr_scale,
+                    adam_on_densify=adam_on_densify)
         return step_cache[key]
 
     densify_step = make_densify_step(opt, extent=scene.cameras_extent)
@@ -422,6 +424,11 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--n_devices", type=int, default=1,
                         help="camera-data-parallel training over this many "
                              "devices of the JAX mesh (grads psum'd on ICI)")
+    parser.add_argument("--adam_on_densify", type=str, default="apply",
+                        choices=["apply", "drop"],
+                        help="'drop' reproduces the reference quirk of "
+                             "skipping the Adam update on densify "
+                             "iterations (COMPONENTS.md #3)")
     return parser
 
 
@@ -479,7 +486,8 @@ def main(argv=None):
                  dino_mode=args.dino_mode, seed=args.seed, quiet=args.quiet,
                  capacity=args.capacity,
                  tensorboard=not args.no_tensorboard, gui=gui,
-                 n_devices=args.n_devices)
+                 n_devices=args.n_devices,
+                 adam_on_densify=args.adam_on_densify)
     print("\nTraining complete.")
 
 

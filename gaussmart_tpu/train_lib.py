@@ -85,8 +85,18 @@ def make_train_step(opt: OptimizationParams, *, sh_degree: int,
                     backend: str = "auto",
                     dino_fn: Optional[Callable] = None,
                     spatial_lr_scale: float = 1.0,
-                    donate: bool = True):
-    """Build the jitted single-iteration update for a given static config."""
+                    donate: bool = True,
+                    adam_on_densify: str = "apply"):
+    """Build the jitted single-iteration update for a given static config.
+
+    adam_on_densify: "apply" (this framework's default — the gradient of a
+    densify iteration is applied before the clone/split/prune) or "drop"
+    (reference parity: the CUDA stack's optimizer-state surgery replaces
+    the param tensors before optimizer.step(), so `.grad` is None and the
+    update is silently skipped on densify iterations —
+    scene/gaussian_model.py:398-468, train.py:205-216).
+    """
+    assert adam_on_densify in ("apply", "drop"), adam_on_densify
     bg = jnp.asarray([1.0, 1.0, 1.0] if white_background else [0.0, 0.0, 0.0],
                      jnp.float32)
 
@@ -106,7 +116,17 @@ def make_train_step(opt: OptimizationParams, *, sh_degree: int,
             lambda new, old: jnp.where(in_window, new, old), new_stats, aux_state)
 
         lrs = group_lrs(opt, iteration, spatial_lr_scale)
-        params, adam = adam_step(params, gparams, adam, lrs, aux_state.active)
+        new_params, new_adam = adam_step(params, gparams, adam, lrs,
+                                         aux_state.active)
+        if adam_on_densify == "drop":
+            is_densify = (in_window
+                          & (iteration > opt.densify_from_iter)
+                          & (iteration % opt.densification_interval == 0))
+            keep = lambda new, old: jnp.where(is_densify, old, new)
+            params = jax.tree.map(keep, new_params, params)
+            adam = jax.tree.map(keep, new_adam, adam)
+        else:
+            params, adam = new_params, new_adam
 
         metrics = StepMetrics(
             total=total, l1=extras["l1"], dist=extras["dist"],

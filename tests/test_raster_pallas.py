@@ -115,7 +115,7 @@ def test_giant_splat_budget_truncation_is_centered(rng):
                                     jnp.ones(1, bool), cam.params(),
                                     sh_degree=0)
     out = rasterize_tiled(prep, jnp.zeros((1, 2)), jnp.zeros(3), 128, 128,
-                          max_dup=4, interpret=True)
+                          max_dup=4, n_giants=0, interpret=True)
     alpha = np.asarray(out["allmap"][1])
     # center lit (splat center projects to ~(63.5, 63.5))
     assert alpha[63, 63] > 0.5 and alpha[64, 64] > 0.5
@@ -155,3 +155,43 @@ def test_specialized_backward_matches_full(rng):
         np.testing.assert_allclose(np.asarray(gs), np.asarray(gf),
                                    rtol=1e-6, atol=1e-7,
                                    err_msg=f"specialized bwd mismatch: {nm}")
+
+
+def test_truncation_stress_post_opacity_reset(rng):
+    """VERDICT r1 task 5: the large-footprint regime right after an opacity
+    reset (big world scales, opacity clamped to 0.01) must stay visually
+    equal to the un-truncated dense oracle even when the duplicate budget
+    actually drops entries."""
+    cam = make_camera(width=128, height=128, fov=1.0)
+    n = 48
+    # big overlapping splats -> many tiles per splat, budget pressure
+    xyz, scales, quats, opac, shs, _ = make_scene(
+        n, rng, depth_range=(1.5, 4.0), spread=0.5, scale=0.6)
+    from gaussmart_tpu.transforms import inverse_sigmoid
+    opac = inverse_sigmoid(jnp.full(n, 0.01))      # post-reset value
+    opac = jax.nn.sigmoid(opac)                    # raster takes activated
+    prep = raster_common.preprocess(xyz, scales, quats, jnp.asarray(opac),
+                                    shs, jnp.ones(n, bool), cam.params(),
+                                    sh_degree=0)
+    ref_out = rasterize_pixels(prep, jnp.zeros((n, 2)), jnp.zeros(3),
+                               128, 128)
+    ref = np.asarray(ref_out["image"])
+
+    def psnr_vs_oracle(out):
+        mse = float(((np.asarray(out["image"]) - ref) ** 2).mean())
+        return 10 * np.log10(1.0 / max(mse, 1e-12))
+
+    # overflow pass disabled: the budget is exceeded and the image departs
+    # measurably from the oracle (the r1 defect, measured 33-41 dB)
+    bare = rasterize_tiled(prep, jnp.zeros((n, 2)), jnp.zeros(3), 128, 128,
+                           max_dup=4, n_giants=0, interpret=True)
+    assert int(bare["n_dropped"]) > 0, "stress scene must exceed the budget"
+
+    # production path (tier-2 giant budget on): near-exact
+    out = rasterize_tiled(prep, jnp.zeros((n, 2)), jnp.zeros(3), 128, 128,
+                          max_dup=4, interpret=True)
+    assert int(out["n_dropped"]) < int(bare["n_dropped"])
+    # >=50 dB vs the oracle corresponds to a <0.05 dB PSNR-vs-GT delta
+    # for any GT in [0,1]
+    assert psnr_vs_oracle(out) > 50.0, psnr_vs_oracle(out)
+    assert psnr_vs_oracle(out) > psnr_vs_oracle(bare)

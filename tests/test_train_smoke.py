@@ -92,3 +92,32 @@ def test_metrics_are_finite(rng):
         jnp.asarray(1, jnp.int32))
     for v in metrics:
         assert np.isfinite(np.asarray(v)).all()
+
+
+def test_adam_on_densify_drop_skips_update(rng):
+    """`adam_on_densify="drop"` leaves params/adam untouched exactly on
+    densify-schedule iterations (reference quirk, COMPONENTS.md #3)."""
+    n = 8
+    pts = rng.normal(size=(n, 3)).astype(np.float32) + np.array([0, 0, 3])
+    state = init_from_pcd(pts, rng.random((n, 3)).astype(np.float32), None,
+                          max_sh_degree=0, spatial_lr_scale=1.0, capacity=32)
+    cam = make_cameras(1)[0]
+    opt = OptimizationParams(densify_from_iter=50, densify_until_iter=1000,
+                             densification_interval=100)
+    step = make_train_step(opt, sh_degree=0, white_background=False,
+                           spatial_lr_scale=1.0, donate=False,
+                           adam_on_densify="drop")
+    gt = jnp.ones((3, cam.height, cam.width)) * 0.5
+    params, adam, aux = state.params, init_adam(state.params), state.aux
+
+    # densify iteration: 100 % 100 == 0 and 50 < 100 < 1000 -> no update
+    p1, a1, _, _, _ = step(params, adam, aux, cam.params(), gt,
+                           jnp.asarray(100, jnp.int32))
+    assert np.allclose(np.asarray(p1.xyz), np.asarray(params.xyz))
+    assert int(a1.step) == int(adam.step)
+
+    # ordinary iteration -> update applies
+    p2, a2, _, _, _ = step(params, adam, aux, cam.params(), gt,
+                           jnp.asarray(101, jnp.int32))
+    assert not np.allclose(np.asarray(p2.xyz), np.asarray(params.xyz))
+    assert int(a2.step) == int(adam.step) + 1
