@@ -32,8 +32,14 @@ def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
     kw = window.reshape(1, 1, 1, k)
     dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
     pad = k // 2
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(pad, pad), (0, 0)], dimension_numbers=dn)
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (pad, pad)], dimension_numbers=dn)
+    # HIGHEST: the TPU default conv precision truncates operands to bf16,
+    # which destroys the second moments (E[x^2]) this blur feeds; the SSIM
+    # moments must be full fp32 like the reference's CUDA conv2d.
+    hi = jax.lax.Precision.HIGHEST
+    x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(pad, pad), (0, 0)],
+                                     dimension_numbers=dn, precision=hi)
+    x = jax.lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (pad, pad)],
+                                     dimension_numbers=dn, precision=hi)
     return x.reshape(n, c, h, w)
 
 
@@ -50,9 +56,20 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
     mu1_sq = mu1 * mu1
     mu2_sq = mu2 * mu2
     mu1_mu2 = mu1 * mu2
-    sigma1_sq = _blur(img1 * img1, window) - mu1_sq
-    sigma2_sq = _blur(img2 * img2, window) - mu2_sq
+    # Variance via E[x^2]-mu^2 cancels catastrophically in fp32 when the
+    # (unclamped, mid-training) render holds large values: the estimate goes
+    # negative, the denominator shrinks/flips, and SSIM leaves [-1, 1] —
+    # observed as transient SSIM>1 spikes that turn the training loss
+    # negative. Clamp the variances at 0 and Cauchy-Schwarz-bound the
+    # covariance so ssim_map <= 1 holds for any input; exact values are
+    # unchanged wherever the moments are numerically consistent.
+    sigma1_sq = jnp.maximum(_blur(img1 * img1, window) - mu1_sq, 0.0)
+    sigma2_sq = jnp.maximum(_blur(img2 * img2, window) - mu2_sq, 0.0)
     sigma12 = _blur(img1 * img2, window) - mu1_mu2
+    # stop_gradient: the bound only binds where the moments are already
+    # inconsistent, and sqrt'(0)=inf would poison the backward pass.
+    bound = jax.lax.stop_gradient(jnp.sqrt(sigma1_sq * sigma2_sq))
+    sigma12 = jnp.clip(sigma12, -bound, bound)
 
     c1 = 0.01**2
     c2 = 0.03**2

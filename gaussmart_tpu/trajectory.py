@@ -140,12 +140,23 @@ def save_img_f32(depth: np.ndarray, path: str):
 
 
 def create_video(frames: List[np.ndarray], path: str, fps: int = 30):
-    """H.264/mp4v video via cv2 (mediapy replacement)."""
+    """Video export via cv2 (replacing the reference's mediapy/ffmpeg H.264
+    pipeline, utils/render_utils.py:203-268). Prefers H.264 (avc1) when the
+    image provides an encoder, falling back to MPEG-4 part 2 (mp4v), which
+    is always built into cv2's ffmpeg."""
     import cv2
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     h, w = frames[0].shape[:2]
-    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
-                             (w, h))
+    writer = None
+    for codec in ("avc1", "mp4v"):
+        writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*codec), fps,
+                                 (w, h))
+        if writer.isOpened():
+            break
+        writer.release()
+        writer = None
+    if writer is None:
+        raise RuntimeError(f"no usable mp4 encoder for {path}")
     for f in frames:
         u8 = np.clip(np.asarray(f) * 255, 0, 255).astype(np.uint8)
         writer.write(cv2.cvtColor(u8, cv2.COLOR_RGB2BGR))

@@ -146,16 +146,26 @@ def camera_ring(n_views, radius=3.1, height_amp=0.75):
     return cams
 
 
-def render_view(R, t, eye, W, H, f):
-    ys, xs = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5,
-                         indexing="ij")
-    dirs_cam = np.stack([(xs - W / 2) / f, (ys - H / 2) / f,
-                         np.ones_like(xs)], axis=-1)
-    dirs = dirs_cam @ R            # R^T @ d per pixel (rows are axes)
-    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-    o = np.broadcast_to(eye, dirs.shape)
-    rgb, _, _, _ = trace(o, dirs)
-    return rgb
+def render_view(R, t, eye, W, H, f, ss=2):
+    """`ss`x`ss` supersampling: photographs are band-limited by the lens +
+    sensor; 1-ray-per-pixel GT has aliased (Nyquist-violating) edges that no
+    splat model can fit, which keeps edge gradients permanently high and
+    drives runaway densification. Box-filtered SSAA makes the target
+    realizable, like the reference's real-photo datasets."""
+    acc = np.zeros((H, W, 3))
+    offs = (np.arange(ss) + 0.5) / ss
+    for oy in offs:
+        for ox in offs:
+            ys, xs = np.meshgrid(np.arange(H) + oy, np.arange(W) + ox,
+                                 indexing="ij")
+            dirs_cam = np.stack([(xs - W / 2) / f, (ys - H / 2) / f,
+                                 np.ones_like(xs)], axis=-1)
+            dirs = dirs_cam @ R    # R^T @ d per pixel (rows are axes)
+            dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+            o = np.broadcast_to(eye, dirs.shape)
+            rgb, _, _, _ = trace(o, dirs)
+            acc += rgb
+    return acc / (ss * ss)
 
 
 def sample_surface(n, rng):

@@ -42,6 +42,22 @@ def test_ssim_identity():
     assert float(ssim(a, a)) > 0.999
 
 
+def test_ssim_bounded_for_extreme_inputs(rng):
+    """fp32 E[x^2]-mu^2 variance cancellation on large unclamped renders used
+    to push SSIM above 1 (observed mid-training as negative-loss transients);
+    the clamped moments must keep ssim <= 1 and its gradient finite."""
+    import jax
+
+    gt = rng.random((1, 3, 24, 32)).astype(np.float32)
+    # mid-training pathological render: huge, spatially smooth values where
+    # the windowed second moment loses all low bits of the variance
+    bad = (1.5e3 + 40.0 * rng.random((1, 3, 24, 32))).astype(np.float32)
+    val = float(ssim(jnp.asarray(bad), jnp.asarray(gt)))
+    assert val <= 1.0 + 1e-6
+    g = jax.grad(lambda x: ssim(x, jnp.asarray(gt)))(jnp.asarray(bad))
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_psnr_known_value():
     a = jnp.zeros((1, 3, 8, 8))
     b = jnp.full((1, 3, 8, 8), 0.1)
