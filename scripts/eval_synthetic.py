@@ -28,10 +28,17 @@ from gaussmart_tpu.eval.chamfer import (nn_distances, radius_downsample,
 from gaussmart_tpu.mesh.meshing import load_mesh_ply
 
 
-def chamfer_vs_gt(mesh_path: str, gt_pts: np.ndarray, downsample: float):
+def chamfer_vs_gt(mesh_path: str, gt_pts: np.ndarray, downsample: float,
+                  crop_radius: float = 0.0):
+    """crop_radius > 0 restricts BOTH clouds to a sphere around the origin —
+    the unbounded (M360-style) scene's foreground region, mirroring how DTU
+    scores inside the ObsMask bounds (reference scripts/eval_dtu/eval.py)."""
     mesh = load_mesh_ply(mesh_path)
     samples = sample_mesh_surface(mesh, downsample)
     samples = radius_downsample(samples, downsample)
+    if crop_radius > 0:
+        samples = samples[np.linalg.norm(samples, axis=1) < crop_radius]
+        gt_pts = gt_pts[np.linalg.norm(gt_pts, axis=1) < crop_radius]
     d2s = nn_distances(samples, gt_pts).mean()
     s2d = nn_distances(gt_pts, samples).mean()
     return {"mean_d2s": float(d2s), "mean_s2d": float(s2d),
@@ -46,6 +53,8 @@ def main(argv=None):
     p.add_argument("--iteration", type=int, default=30000)
     p.add_argument("--downsample", type=float, default=0.002,
                    help="sample spacing in world units (scene is ~4 units)")
+    p.add_argument("--crop_radius", type=float, default=0.0,
+                   help="score only inside this radius (unbounded scenes)")
     args = p.parse_args(argv)
 
     gt_pts = np.load(os.path.join(args.scene, "gt_surface_points.npy"))
@@ -56,7 +65,8 @@ def main(argv=None):
     if not meshes:
         meshes = sorted(glob.glob(os.path.join(args.model, "*.ply")))
     for m in meshes:
-        out[os.path.basename(m)] = chamfer_vs_gt(m, gt_pts, args.downsample)
+        out[os.path.basename(m)] = chamfer_vs_gt(m, gt_pts, args.downsample,
+                                                 args.crop_radius)
 
     res = os.path.join(args.model, "results.json")
     if os.path.exists(res):

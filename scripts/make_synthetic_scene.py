@@ -31,12 +31,43 @@ BOX2 = (np.array([0.6, PLANE_Y, 0.15]), np.array([1.1, -0.35, 0.65]))
 LIGHTS = [(np.array([0.4, 0.8, 0.45]), 0.85), (np.array([-0.6, 0.5, -0.6]), 0.45)]
 AMBIENT = 0.25
 
+# Bounded (DTU-like) scene by default. --unbounded switches to an M360-style
+# layout: the ground plane runs to the horizon and a ring of far "hill"
+# spheres surrounds the foreground, so splats must cover depth from ~2 to
+# ~25 units and mesh extraction needs the contraction (unbounded) path.
+PLANE_EXT = 2.2
+FAR_SPHERES = []  # list of (center[3], radius, albedo[3])
+
+
+def set_unbounded():
+    global PLANE_EXT, FAR_SPHERES
+    PLANE_EXT = 40.0
+    rng = np.random.default_rng(11)
+    FAR_SPHERES = []
+    for i in range(10):
+        ang = 2 * np.pi * i / 10 + rng.uniform(-0.15, 0.15)
+        dist = rng.uniform(14.0, 22.0)
+        rad = rng.uniform(4.0, 8.0)
+        c = np.array([dist * np.cos(ang), PLANE_Y - 0.55 * rad,
+                      dist * np.sin(ang)])
+        col = np.array([0.25 + 0.2 * rng.random(),
+                        0.4 + 0.25 * rng.random(),
+                        0.2 + 0.15 * rng.random()])
+        FAR_SPHERES.append((c, rad, col))
+
 
 def _checker(p):
     c = (np.floor(p[..., 0] * 2.0) + np.floor(p[..., 2] * 2.0)) % 2
     col = np.where(c[..., None] > 0.5,
                    np.array([0.85, 0.82, 0.78]), np.array([0.25, 0.3, 0.4]))
-    return col
+    # LOD fade: beyond ~6 units the checker frequency exceeds what any
+    # camera in the ring resolves (and what a splat model could fit), so
+    # blend toward the mean color like a mip chain would. No-op within the
+    # bounded scene's 2.2-unit extent.
+    r = np.linalg.norm(p[..., [0, 2]], axis=-1, keepdims=True)
+    w = np.clip((r - 6.0) / 12.0, 0.0, 0.9)
+    mean = np.array([0.55, 0.56, 0.59])
+    return col * (1 - w) + mean * w
 
 
 def _sphere_tex(p):
@@ -80,7 +111,7 @@ def trace(o, d):
     tp = (PLANE_Y - o[..., 1]) / np.where(np.abs(d[..., 1]) < 1e-9, 1e-9,
                                           d[..., 1])
     pp = o + tp[..., None] * d
-    inb = (np.abs(pp[..., 0]) < 2.2) & (np.abs(pp[..., 2]) < 2.2)
+    inb = (np.abs(pp[..., 0]) < PLANE_EXT) & (np.abs(pp[..., 2]) < PLANE_EXT)
     ok = (tp > 1e-4) & (tp < best_t) & inb
     best_t = np.where(ok, tp, best_t)
     mat = np.where(ok, 1, mat)
@@ -101,6 +132,16 @@ def trace(o, d):
         best_t = np.where(ok, tb, best_t)
         mat = np.where(ok, mi, mat)
 
+    for k, (fc, fr, _col) in enumerate(FAR_SPHERES):
+        oc = o - fc
+        b = np.sum(oc * d, axis=-1)
+        c = np.sum(oc * oc, axis=-1) - fr**2
+        disc = b * b - c
+        ts = -b - np.sqrt(np.maximum(disc, 0))
+        ok = (disc > 0) & (ts > 1e-4) & (ts < best_t)
+        best_t = np.where(ok, ts, best_t)
+        mat = np.where(ok, 5 + k, mat)
+
     hit = np.isfinite(best_t)
     t = np.where(hit, best_t, 0.0)
     p = o + t[..., None] * d
@@ -117,6 +158,10 @@ def trace(o, d):
         albedo = np.where((mat == mi)[..., None], col, albedo)
         normal = np.where((mat == mi)[..., None], _box_normal(p, lo, hi),
                           normal)
+    for k, (fc, fr, col) in enumerate(FAR_SPHERES):
+        sel = (mat == 5 + k)[..., None]
+        albedo = np.where(sel, col, albedo)
+        normal = np.where(sel, (p - fc) / fr, normal)
 
     shade = AMBIENT * np.ones(d.shape[:-1])
     for ldir, lint in LIGHTS:
@@ -197,6 +242,26 @@ def sample_surface(n, rng):
             p[sel, ax] = (hi if side else lo)[ax]
         pts.append(p)
         cols.append(np.broadcast_to(col, p.shape).copy())
+    if FAR_SPHERES:
+        # background coverage for the SfM-like cloud: far ground with a
+        # near-biased radial density (as real SfM tracks thin out with
+        # distance) plus the camera-facing upper caps of the hill spheres
+        m = n // 4
+        rad = 2.2 + 18.0 * np.sqrt(rng.uniform(0, 1, m))
+        ang = rng.uniform(0, 2 * np.pi, m)
+        p = np.stack([rad * np.cos(ang), np.full(m, PLANE_Y),
+                      rad * np.sin(ang)], axis=1)
+        pts.append(p)
+        cols.append(_checker(p))
+        mh = n // 8
+        for fc, fr, col in FAR_SPHERES:
+            v = rng.normal(size=(mh // len(FAR_SPHERES) + 1, 3))
+            v /= np.linalg.norm(v, axis=1, keepdims=True)
+            v[:, 1] = np.abs(v[:, 1])          # upper hemisphere
+            hp = fc + fr * v
+            keep = hp[:, 1] > PLANE_Y - 0.05   # the part poking above ground
+            pts.append(hp[keep])
+            cols.append(np.broadcast_to(col, hp[keep].shape).copy())
     return np.concatenate(pts), np.clip(np.concatenate(cols), 0, 1)
 
 
@@ -209,7 +274,11 @@ def main():
     ap.add_argument("--focal", type=float, default=700.0)
     ap.add_argument("--sfm_points", type=int, default=30000)
     ap.add_argument("--gt_points", type=int, default=200000)
+    ap.add_argument("--unbounded", action="store_true",
+                    help="M360-style: ground to the horizon + far hill ring")
     args = ap.parse_args()
+    if args.unbounded:
+        set_unbounded()
 
     from PIL import Image
     from gaussmart_tpu.io.colmap import (ColmapCamera, ColmapImage,
