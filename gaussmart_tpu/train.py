@@ -75,6 +75,11 @@ def training(dataset: ModelParams, opt: OptimizationParams,
                   "dist_loss", "normal_loss"]
     with open(loss_log_path, "w", newline="") as f:
         csv.DictWriter(f, fieldnames=log_fields).writeheader()
+    stat_log_path = os.path.join(dataset.model_path, "train_stats.csv")
+    stat_fields = ["iteration", "n_points", "n_dropped"]
+    with open(stat_log_path, "w", newline="") as f:
+        csv.DictWriter(f, fieldnames=stat_fields).writeheader()
+    stat_rows: List[dict] = []
 
     mesh = None
     if n_devices > 1:
@@ -165,6 +170,11 @@ def training(dataset: ModelParams, opt: OptimizationParams,
                 "iteration": iteration, "dino_loss": float(m.dino),
                 "total_loss": float(m.total), "l1_loss": float(m.l1),
                 "dist_loss": float(m.dist), "normal_loss": float(m.normal)})
+            # framework diagnostics in a separate file: the reference's
+            # dino_loss_log.csv schema (train.py:63-67) stays exact
+            stat_rows.append({
+                "iteration": iteration, "n_points": int(m.n_active),
+                "n_dropped": int(m.n_dropped)})
             if tb is not None:
                 tb.scalar("train_loss_patches/total_loss", float(m.total), iteration)
                 tb.scalar("train_loss_patches/reg_loss", float(m.l1), iteration)
@@ -178,6 +188,7 @@ def training(dataset: ModelParams, opt: OptimizationParams,
                           (time.time() - t_start) / iteration, iteration)
             if len(log_rows) >= 50:
                 _flush_log(loss_log_path, log_fields, log_rows)
+                _flush_log(stat_log_path, stat_fields, stat_rows)
 
         if iteration in testing_iterations:
             state = state.replace(params=params, aux=aux)
@@ -224,6 +235,7 @@ def training(dataset: ModelParams, opt: OptimizationParams,
                             state, adam, iteration)
 
     _flush_log(loss_log_path, log_fields, log_rows)
+    _flush_log(stat_log_path, stat_fields, stat_rows)
     if tb is not None:
         tb.close()
     return state.replace(params=params, aux=aux), adam
