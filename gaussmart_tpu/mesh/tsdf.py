@@ -53,10 +53,25 @@ def _bilinear(img: jnp.ndarray, ndc: jnp.ndarray):
             + v10 * (1 - fx) * fy + v11 * fx * fy)
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-def _integrate_grid(tsdf, weight, color, points, depth, rgb, full_proj,
-                    sdf_trunc, depth_trunc):
-    """One frame of projective TSDF integration over flattened voxels."""
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnums=(3,))
+def _integrate_grid(tsdf, weight, color, dims, origin, voxel_size, depth,
+                    rgb, full_proj, sdf_trunc, depth_trunc):
+    """One frame of projective TSDF integration over flattened voxels.
+
+    Voxel world coordinates are generated from the flat index inside the
+    program (ix,iy,iz de-interleave + affine) instead of being passed as a
+    persistent [N,3] array: at DTU-recipe resolutions (~420M voxels,
+    reference scripts/dtu_eval_mesh.py:32) the coordinate array alone is
+    5 GB of HBM + a >10 GB host meshgrid, which previously forced the
+    voxel-size cap long before the TSDF/weight/color state itself did."""
+    n = tsdf.shape[0]
+    dy, dz = dims[1], dims[2]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    iz = idx % dz
+    iy = (idx // dz) % dy
+    ix = idx // (dz * dy)
+    points = (jnp.stack([ix, iy, iz], axis=1).astype(jnp.float32)
+              * voxel_size + origin[None, :])
     ndc, z = _project(points, full_proj)
     in_img = (jnp.abs(ndc) < 1.0).all(axis=1) & (z > 0)
     d = _bilinear(depth[None], ndc)[0]
@@ -91,12 +106,6 @@ class TSDFVolume:
             print(f"[tsdf] grid capped: voxel_size -> {self.voxel_size:.5f}")
         self.dims = tuple(int(d) for d in dims)
         n = int(np.prod(self.dims))
-        xs = np.arange(self.dims[0]) * self.voxel_size + self.origin[0]
-        ys = np.arange(self.dims[1]) * self.voxel_size + self.origin[1]
-        zs = np.arange(self.dims[2]) * self.voxel_size + self.origin[2]
-        gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
-        self._points = jnp.asarray(
-            np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1), jnp.float32)
         self.tsdf = jnp.ones(n, jnp.float32)
         self.weight = jnp.zeros(n, jnp.float32)
         self.color = jnp.zeros((n, 3), jnp.float32)
@@ -104,7 +113,9 @@ class TSDFVolume:
     def integrate(self, depth: jnp.ndarray, rgb: jnp.ndarray,
                   cam: CameraParams, depth_trunc: float):
         self.tsdf, self.weight, self.color = _integrate_grid(
-            self.tsdf, self.weight, self.color, self._points,
+            self.tsdf, self.weight, self.color, self.dims,
+            jnp.asarray(self.origin, jnp.float32),
+            jnp.float32(self.voxel_size),
             jnp.asarray(depth), jnp.asarray(rgb),
             jnp.asarray(cam.full_proj),
             jnp.float32(self.sdf_trunc), jnp.float32(depth_trunc))
