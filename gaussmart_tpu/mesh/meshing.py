@@ -126,8 +126,13 @@ def load_mesh_ply(path: str) -> TriMesh:
             elif p[1] == "face":
                 n_f = int(p[2])
         elif p[0] == "property" and cur == "vertex" and p[1] != "list":
-            v_props.append((p[2], {"float": "<f4", "uchar": "u1",
-                                   "double": "<f8"}[p[1]]))
+            v_props.append((p[2], {"float": "<f4", "float32": "<f4",
+                                   "double": "<f8", "float64": "<f8",
+                                   "uchar": "u1", "uint8": "u1",
+                                   "char": "i1", "short": "<i2",
+                                   "ushort": "<u2", "int": "<i4",
+                                   "int32": "<i4", "uint": "<u4",
+                                   "uint32": "<u4"}[p[1]]))
     vdt = np.dtype(v_props)
     varr = np.frombuffer(body, dtype=vdt, count=n_v)
     off = vdt.itemsize * n_v

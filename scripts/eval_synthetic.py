@@ -61,9 +61,11 @@ def main(argv=None):
     out = {"gt_points": int(len(gt_pts))}
 
     mesh_dir = os.path.join(args.model, "train", f"ours_{args.iteration}")
-    meshes = sorted(glob.glob(os.path.join(mesh_dir, "*.ply")))
+    meshes = sorted(glob.glob(os.path.join(mesh_dir, "fuse*.ply")))
     if not meshes:
-        meshes = sorted(glob.glob(os.path.join(args.model, "*.ply")))
+        meshes = sorted(glob.glob(os.path.join(args.model, "fuse*.ply")))
+    if not meshes:
+        print(f"no fuse*.ply meshes under {mesh_dir}", file=sys.stderr)
     for m in meshes:
         out[os.path.basename(m)] = chamfer_vs_gt(m, gt_pts, args.downsample,
                                                  args.crop_radius)
