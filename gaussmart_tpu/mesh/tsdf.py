@@ -53,6 +53,9 @@ def _bilinear(img: jnp.ndarray, ndc: jnp.ndarray):
             + v10 * (1 - fx) * fy + v11 * fx * fy)
 
 
+CHUNK = 16_777_216  # voxels per inner step; bounds transient memory
+
+
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnums=(3,))
 def _integrate_grid(tsdf, weight, color, dims, origin, voxel_size, depth,
                     rgb, full_proj, sdf_trunc, depth_trunc):
@@ -63,29 +66,48 @@ def _integrate_grid(tsdf, weight, color, dims, origin, voxel_size, depth,
     persistent [N,3] array: at DTU-recipe resolutions (~420M voxels,
     reference scripts/dtu_eval_mesh.py:32) the coordinate array alone is
     5 GB of HBM + a >10 GB host meshgrid, which previously forced the
-    voxel-size cap long before the TSDF/weight/color state itself did."""
-    n = tsdf.shape[0]
+    voxel-size cap long before the TSDF/weight/color state itself did.
+    The grid is processed in CHUNK-sized slices via lax.map so the
+    transient working set stays bounded while the persistent state
+    (tsdf/weight/color, 20 B/voxel) can fill most of HBM."""
+    n = tsdf.shape[0]                    # padded to a multiple of CHUNK
     dy, dz = dims[1], dims[2]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    iz = idx % dz
-    iy = (idx // dz) % dy
-    ix = idx // (dz * dy)
-    points = (jnp.stack([ix, iy, iz], axis=1).astype(jnp.float32)
-              * voxel_size + origin[None, :])
-    ndc, z = _project(points, full_proj)
-    in_img = (jnp.abs(ndc) < 1.0).all(axis=1) & (z > 0)
-    d = _bilinear(depth[None], ndc)[0]
-    c = _bilinear(rgb, ndc).T                                  # [N,3]
-    valid_d = (d > 0) & (d <= depth_trunc)
-    sdf = d - z
-    upd = in_img & valid_d & (sdf > -sdf_trunc)
-    sdf = jnp.clip(sdf / sdf_trunc, -1.0, 1.0)
-    w_new = weight + upd
-    safe = jnp.maximum(w_new, 1.0)
-    tsdf = jnp.where(upd, (tsdf * weight + sdf) / safe, tsdf)
-    color = jnp.where(upd[:, None], (color * weight[:, None] + c) / safe[:, None],
-                      color)
-    return tsdf, w_new, color
+    n_chunks = n // CHUNK if n % CHUNK == 0 else -(-n // CHUNK)
+
+    def body(args):
+        t, w, col, base = args
+        idx = base * CHUNK + jnp.arange(t.shape[0], dtype=jnp.int32)
+        iz = idx % dz
+        iy = (idx // dz) % dy
+        ix = idx // (dz * dy)
+        points = (jnp.stack([ix, iy, iz], axis=1).astype(jnp.float32)
+                  * voxel_size + origin[None, :])
+        ndc, z = _project(points, full_proj)
+        in_img = (jnp.abs(ndc) < 1.0).all(axis=1) & (z > 0)
+        d = _bilinear(depth[None], ndc)[0]
+        c = _bilinear(rgb, ndc).T                              # [M,3]
+        valid_d = (d > 0) & (d <= depth_trunc)
+        sdf = d - z
+        upd = in_img & valid_d & (sdf > -sdf_trunc)
+        sdf = jnp.clip(sdf / sdf_trunc, -1.0, 1.0)
+        w_new = w + upd
+        safe = jnp.maximum(w_new, 1.0)
+        t = jnp.where(upd, (t * w + sdf) / safe, t)
+        col = jnp.where(upd[:, None], (col * w[:, None] + c) / safe[:, None],
+                        col)
+        return t, w_new, col
+
+    if n_chunks <= 1:
+        t, w, col = body((tsdf, weight, color, jnp.int32(0)))
+        return t, w, col
+    # n is padded to n_chunks*CHUNK at init, so these reshapes are free
+    # (no copy of the donated multi-GB state)
+    t, w, col = jax.lax.map(
+        lambda a: body((a[0], a[1], a[2], a[3])),
+        (tsdf.reshape(n_chunks, CHUNK), weight.reshape(n_chunks, CHUNK),
+         color.reshape(n_chunks, CHUNK, 3),
+         jnp.arange(n_chunks, dtype=jnp.int32)))
+    return t.reshape(n), w.reshape(n), col.reshape(n, 3)
 
 
 class TSDFVolume:
@@ -106,9 +128,14 @@ class TSDFVolume:
             print(f"[tsdf] grid capped: voxel_size -> {self.voxel_size:.5f}")
         self.dims = tuple(int(d) for d in dims)
         n = int(np.prod(self.dims))
-        self.tsdf = jnp.ones(n, jnp.float32)
-        self.weight = jnp.zeros(n, jnp.float32)
-        self.color = jnp.zeros((n, 3), jnp.float32)
+        self._n = n
+        # pad the flat state to a CHUNK multiple so the chunked integrate
+        # can reshape in place (padding voxels compute garbage and are
+        # sliced off at extraction)
+        n_pad = n if n <= CHUNK else -(-n // CHUNK) * CHUNK
+        self.tsdf = jnp.ones(n_pad, jnp.float32)
+        self.weight = jnp.zeros(n_pad, jnp.float32)
+        self.color = jnp.zeros((n_pad, 3), jnp.float32)
 
     def integrate(self, depth: jnp.ndarray, rgb: jnp.ndarray,
                   cam: CameraParams, depth_trunc: float):
@@ -124,8 +151,8 @@ class TSDFVolume:
         from gaussmart_tpu.mesh.marching import marching_tetrahedra
         from gaussmart_tpu.mesh.meshing import TriMesh
 
-        vol = np.asarray(self.tsdf).reshape(self.dims)
-        w = np.asarray(self.weight).reshape(self.dims)
+        vol = np.asarray(self.tsdf[:self._n]).reshape(self.dims)
+        w = np.asarray(self.weight[:self._n]).reshape(self.dims)
         # Unobserved voxels must not generate surface (open3d skips them):
         # mark NaN; marching drops any triangle touching a NaN corner.
         vol = np.where(w > 0, vol, np.nan)
@@ -143,7 +170,7 @@ class TSDFVolume:
         g = np.clip(g, 0, np.array(self.dims) - 1.001)
         i0 = np.floor(g).astype(int)
         fr = g - i0
-        col = np.asarray(self.color).reshape(self.dims + (3,))
+        col = np.asarray(self.color[:self._n]).reshape(self.dims + (3,))
         out = np.zeros((len(g), 3))
         for dx in (0, 1):
             for dy in (0, 1):

@@ -73,6 +73,37 @@ def test_tsdf_plane():
     np.testing.assert_allclose(mesh.vertex_colors.mean(), 0.5, atol=0.05)
 
 
+def test_tsdf_chunked_matches_single(monkeypatch):
+    """The lax.map chunked integration (big-grid path) must produce the
+    same state as one unchunked pass."""
+    import gaussmart_tpu.mesh.tsdf as tsdf_mod
+
+    w = h = 32
+    cam = Camera(uid=0, colmap_id=0, image_name="c", R=np.eye(3),
+                 T=np.zeros(3), fovx=0.9, fovy=0.9, width=w, height=h)
+    rng = np.random.default_rng(0)
+    depth = jnp.asarray(2.0 + 0.2 * rng.random((h, w)), jnp.float32)
+    rgb = jnp.asarray(rng.random((3, h, w)), jnp.float32)
+
+    def fuse():
+        vol = TSDFVolume((-1.2, -1.2, 1.0), (1.2, 1.2, 3.0),
+                         voxel_size=0.1, sdf_trunc=0.3)
+        vol.integrate(depth, rgb, cam.params(), depth_trunc=4.0)
+        return (np.asarray(vol.tsdf[:vol._n]),
+                np.asarray(vol.weight[:vol._n]),
+                np.asarray(vol.color[:vol._n]))
+
+    ref = fuse()
+    monkeypatch.setattr(tsdf_mod, "CHUNK", 4096)  # grid is ~15k voxels
+    tsdf_mod._integrate_grid.clear_cache()
+    try:
+        chunked = fuse()
+    finally:
+        tsdf_mod._integrate_grid.clear_cache()
+    for a, b, nm in zip(ref, chunked, ("tsdf", "weight", "color")):
+        np.testing.assert_allclose(b, a, atol=1e-6, err_msg=nm)
+
+
 def test_post_process_keeps_large_cluster():
     vol, xs = sphere_sdf_grid(n=32, r=0.6)
     sp = xs[1] - xs[0]
