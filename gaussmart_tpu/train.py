@@ -50,7 +50,7 @@ def training(dataset: ModelParams, opt: OptimizationParams,
              capacity: Optional[int] = None,
              log_every: int = 10, profile_dir: Optional[str] = None,
              tensorboard: bool = True, gui=None, n_devices: int = 1,
-             adam_on_densify: str = "apply"):
+             adam_on_densify: str = "drop"):
     """`n_devices > 1` trains camera-data-parallel over a JAX device mesh:
     each step consumes n_devices views, grads/densification stats are
     psum'd over ICI (equivalent to grad accumulation over the batch —
@@ -436,11 +436,13 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--n_devices", type=int, default=1,
                         help="camera-data-parallel training over this many "
                              "devices of the JAX mesh (grads psum'd on ICI)")
-    parser.add_argument("--adam_on_densify", type=str, default="apply",
+    parser.add_argument("--adam_on_densify", type=str, default="drop",
                         choices=["apply", "drop"],
-                        help="'drop' reproduces the reference quirk of "
-                             "skipping the Adam update on densify "
-                             "iterations (COMPONENTS.md #3)")
+                        help="'drop' (default) reproduces the reference "
+                             "behavior of skipping the Adam update on "
+                             "densify iterations; measured more stable "
+                             "than 'apply' in the sparse-view regime "
+                             "(A/B in BASELINE.md, COMPONENTS.md #3)")
     return parser
 
 

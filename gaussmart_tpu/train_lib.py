@@ -86,15 +86,17 @@ def make_train_step(opt: OptimizationParams, *, sh_degree: int,
                     dino_fn: Optional[Callable] = None,
                     spatial_lr_scale: float = 1.0,
                     donate: bool = True,
-                    adam_on_densify: str = "apply"):
+                    adam_on_densify: str = "drop"):
     """Build the jitted single-iteration update for a given static config.
 
-    adam_on_densify: "apply" (this framework's default — the gradient of a
-    densify iteration is applied before the clone/split/prune) or "drop"
-    (reference parity: the CUDA stack's optimizer-state surgery replaces
-    the param tensors before optimizer.step(), so `.grad` is None and the
-    update is silently skipped on densify iterations —
-    scene/gaussian_model.py:398-468, train.py:205-216).
+    adam_on_densify: "drop" (default; reference parity — the CUDA stack's
+    optimizer-state surgery replaces the param tensors before
+    optimizer.step(), so `.grad` is None and the update is silently skipped
+    on densify iterations, scene/gaussian_model.py:398-468,
+    train.py:205-216) or "apply" (use the gradient instead of discarding
+    it). A 10k-iter A/B on the synthetic validation scene found the two
+    identical at 5k iters but "drop" markedly more stable in the
+    over-parameterized late phase (BASELINE.md).
     """
     assert adam_on_densify in ("apply", "drop"), adam_on_densify
     bg = jnp.asarray([1.0, 1.0, 1.0] if white_background else [0.0, 0.0, 0.0],

@@ -34,6 +34,14 @@ def chamfer_vs_gt(mesh_path: str, gt_pts: np.ndarray, downsample: float,
     the unbounded (M360-style) scene's foreground region, mirroring how DTU
     scores inside the ObsMask bounds (reference scripts/eval_dtu/eval.py)."""
     mesh = load_mesh_ply(mesh_path)
+    if crop_radius > 0:
+        # drop background faces BEFORE sampling — an unbounded mesh is
+        # dominated by distant geometry that sampling at foreground density
+        # would take hours over
+        r = np.linalg.norm(mesh.vertices, axis=1)
+        keep = (r[mesh.faces] < crop_radius * 1.1).all(axis=1)
+        mesh = type(mesh)(mesh.vertices, mesh.faces[keep],
+                          mesh.vertex_colors)
     samples = sample_mesh_surface(mesh, downsample)
     samples = radius_downsample(samples, downsample)
     if crop_radius > 0:
