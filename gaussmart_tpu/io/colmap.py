@@ -128,15 +128,22 @@ def read_images_binary(path: str) -> Dict[int, ColmapImage]:
 def read_images_text(path: str) -> Dict[int, ColmapImage]:
     out = {}
     with open(path) as f:
-        lines = [ln.strip() for ln in f
-                 if ln.strip() and not ln.startswith("#")]
-    for meta in lines[0::2]:  # every other line is the 2D point list
-        parts = meta.split()
+        # Keep blank lines: an image with zero 2D observations has an EMPTY
+        # points line, and stripping blanks before pair-striding silently
+        # drops every other image (COLMAP's own reader consumes line pairs).
+        lines = [ln.strip() for ln in f if not ln.startswith("#")]
+    i = 0
+    while i < len(lines):
+        if not lines[i]:
+            i += 1
+            continue
+        parts = lines[i].split()
         image_id = int(parts[0])
         qvec = np.array([float(p) for p in parts[1:5]])
         tvec = np.array([float(p) for p in parts[5:8]])
         out[image_id] = ColmapImage(image_id, qvec, tvec, int(parts[8]),
                                     parts[9])
+        i += 2  # the following line is the (possibly empty) 2D point list
     return out
 
 

@@ -56,58 +56,50 @@ def _bilinear(img: jnp.ndarray, ndc: jnp.ndarray):
 CHUNK = 16_777_216  # voxels per inner step; bounds transient memory
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2), static_argnums=(3,))
-def _integrate_grid(tsdf, weight, color, dims, origin, voxel_size, depth,
-                    rgb, full_proj, sdf_trunc, depth_trunc):
-    """One frame of projective TSDF integration over flattened voxels.
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _integrate_chunk(tsdf, weight, color, base, dydz, origin, voxel_size,
+                     depth, rgb, full_proj, sdf_trunc, depth_trunc):
+    """One frame of projective TSDF integration over one chunk of voxels.
 
     Voxel world coordinates are generated from the flat index inside the
     program (ix,iy,iz de-interleave + affine) instead of being passed as a
     persistent [N,3] array: at DTU-recipe resolutions (~420M voxels,
     reference scripts/dtu_eval_mesh.py:32) the coordinate array alone is
-    5 GB of HBM + a >10 GB host meshgrid, which previously forced the
-    voxel-size cap long before the TSDF/weight/color state itself did.
-    The grid is processed in CHUNK-sized slices via lax.map so the
-    transient working set stays bounded while the persistent state
-    (tsdf/weight/color, 20 B/voxel) can fill most of HBM."""
-    n = tsdf.shape[0]                    # padded to a multiple of CHUNK
-    dy, dz = dims[1], dims[2]
-    n_chunks = n // CHUNK if n % CHUNK == 0 else -(-n // CHUNK)
+    5 GB of HBM + a >10 GB host meshgrid. The grid state lives as
+    independent per-chunk device arrays; each call donates its chunk, so
+    the update is in place and the transient working set is one chunk —
+    a single whole-grid program would double the multi-GB state through
+    the output buffers and OOM HBM."""
+    idx = base + jnp.arange(tsdf.shape[0], dtype=jnp.int32)
+    dy, dz = dydz
+    iz = idx % dz
+    iy = (idx // dz) % dy
+    ix = idx // (dz * dy)
+    points = (jnp.stack([ix, iy, iz], axis=1).astype(jnp.float32)
+              * voxel_size + origin[None, :])
+    ndc, z = _project(points, full_proj)
+    in_img = (jnp.abs(ndc) < 1.0).all(axis=1) & (z > 0)
+    d = _bilinear(depth[None], ndc)[0]
+    c = _bilinear(rgb, ndc).T                                  # [M,3]
+    valid_d = (d > 0) & (d <= depth_trunc)
+    sdf = d - z
+    upd = in_img & valid_d & (sdf > -sdf_trunc)
+    sdf = jnp.clip(sdf / sdf_trunc, -1.0, 1.0)
+    w_new = weight + upd
+    safe = jnp.maximum(w_new, 1.0)
+    tsdf = jnp.where(upd, (tsdf * weight + sdf) / safe, tsdf)
+    color = jnp.where(upd[:, None],
+                      (color * weight[:, None] + c) / safe[:, None], color)
+    return tsdf, w_new, color
 
-    def body(args):
-        t, w, col, base = args
-        idx = base * CHUNK + jnp.arange(t.shape[0], dtype=jnp.int32)
-        iz = idx % dz
-        iy = (idx // dz) % dy
-        ix = idx // (dz * dy)
-        points = (jnp.stack([ix, iy, iz], axis=1).astype(jnp.float32)
-                  * voxel_size + origin[None, :])
-        ndc, z = _project(points, full_proj)
-        in_img = (jnp.abs(ndc) < 1.0).all(axis=1) & (z > 0)
-        d = _bilinear(depth[None], ndc)[0]
-        c = _bilinear(rgb, ndc).T                              # [M,3]
-        valid_d = (d > 0) & (d <= depth_trunc)
-        sdf = d - z
-        upd = in_img & valid_d & (sdf > -sdf_trunc)
-        sdf = jnp.clip(sdf / sdf_trunc, -1.0, 1.0)
-        w_new = w + upd
-        safe = jnp.maximum(w_new, 1.0)
-        t = jnp.where(upd, (t * w + sdf) / safe, t)
-        col = jnp.where(upd[:, None], (col * w[:, None] + c) / safe[:, None],
-                        col)
-        return t, w_new, col
 
-    if n_chunks <= 1:
-        t, w, col = body((tsdf, weight, color, jnp.int32(0)))
-        return t, w, col
-    # n is padded to n_chunks*CHUNK at init, so these reshapes are free
-    # (no copy of the donated multi-GB state)
-    t, w, col = jax.lax.map(
-        lambda a: body((a[0], a[1], a[2], a[3])),
-        (tsdf.reshape(n_chunks, CHUNK), weight.reshape(n_chunks, CHUNK),
-         color.reshape(n_chunks, CHUNK, 3),
-         jnp.arange(n_chunks, dtype=jnp.int32)))
-    return t.reshape(n), w.reshape(n), col.reshape(n, 3)
+@jax.jit
+def _quantize_chunk(tsdf, weight):
+    """int8 wire format for the device->host grid pull: sdf in [-1,1]
+    quantized to 1/127 (≪ the marching interpolation tolerance), -128 =
+    unobserved. 1 B/voxel instead of 8 — the tunnel-bandwidth-bound step."""
+    q = jnp.round(jnp.clip(tsdf, -1.0, 1.0) * 127.0).astype(jnp.int8)
+    return jnp.where(weight > 0, q, jnp.int8(-128))
 
 
 class TSDFVolume:
@@ -129,34 +121,43 @@ class TSDFVolume:
         self.dims = tuple(int(d) for d in dims)
         n = int(np.prod(self.dims))
         self._n = n
-        # pad the flat state to a CHUNK multiple so the chunked integrate
-        # can reshape in place (padding voxels compute garbage and are
-        # sliced off at extraction)
-        n_pad = n if n <= CHUNK else -(-n // CHUNK) * CHUNK
-        self.tsdf = jnp.ones(n_pad, jnp.float32)
-        self.weight = jnp.zeros(n_pad, jnp.float32)
-        self.color = jnp.zeros((n_pad, 3), jnp.float32)
+        # state is a list of independent per-chunk device arrays so each
+        # frame's update donates in place (one big array would need a
+        # second multi-GB output buffer)
+        self._chunks = [min(CHUNK, n - b) for b in range(0, n, CHUNK)]
+        self.tsdf = [jnp.ones(c, jnp.float32) for c in self._chunks]
+        self.weight = [jnp.zeros(c, jnp.float32) for c in self._chunks]
+        self.color = [jnp.zeros((c, 3), jnp.float32) for c in self._chunks]
 
     def integrate(self, depth: jnp.ndarray, rgb: jnp.ndarray,
                   cam: CameraParams, depth_trunc: float):
-        self.tsdf, self.weight, self.color = _integrate_grid(
-            self.tsdf, self.weight, self.color, self.dims,
-            jnp.asarray(self.origin, jnp.float32),
-            jnp.float32(self.voxel_size),
-            jnp.asarray(depth), jnp.asarray(rgb),
-            jnp.asarray(cam.full_proj),
-            jnp.float32(self.sdf_trunc), jnp.float32(depth_trunc))
+        depth = jnp.asarray(depth)
+        rgb = jnp.asarray(rgb)
+        proj = jnp.asarray(cam.full_proj)
+        origin = jnp.asarray(self.origin, jnp.float32)
+        base = 0
+        for i, c in enumerate(self._chunks):
+            self.tsdf[i], self.weight[i], self.color[i] = _integrate_chunk(
+                self.tsdf[i], self.weight[i], self.color[i],
+                jnp.int32(base), (self.dims[1], self.dims[2]), origin,
+                jnp.float32(self.voxel_size), depth, rgb, proj,
+                jnp.float32(self.sdf_trunc), jnp.float32(depth_trunc))
+            base += c
 
     def extract_mesh(self):
         from gaussmart_tpu.mesh.marching import marching_tetrahedra
         from gaussmart_tpu.mesh.meshing import TriMesh
 
-        vol = np.asarray(self.tsdf[:self._n]).reshape(self.dims)
-        w = np.asarray(self.weight[:self._n]).reshape(self.dims)
+        # pull the grid as int8 (1 B/voxel): over a slow host link this
+        # transfer dominates extraction, and marching only needs ~2 decimal
+        # digits of the normalized sdf
+        q = np.concatenate([np.asarray(_quantize_chunk(t, w))
+                            for t, w in zip(self.tsdf, self.weight)])
+        q = q.reshape(self.dims)
         # Unobserved voxels must not generate surface (open3d skips them):
         # mark NaN; marching drops any triangle touching a NaN corner.
-        vol = np.where(w > 0, vol, np.nan)
-        v, f = marching_tetrahedra(vol.astype(np.float64), level=0.0,
+        vol = np.where(q == -128, np.nan, q.astype(np.float64) / 127.0)
+        v, f = marching_tetrahedra(vol, level=0.0,
                                    spacing=(self.voxel_size,) * 3,
                                    origin=self.origin)
         mesh = TriMesh(v, f).merge_vertices(digits=6)
@@ -165,21 +166,34 @@ class TSDFVolume:
         return mesh
 
     def sample_colors(self, verts: np.ndarray) -> np.ndarray:
-        """Trilinear color lookup at world positions."""
+        """Trilinear color lookup at world positions.
+
+        Gathers happen on device per chunk-plane so only per-vertex colors
+        cross the host link (the full color grid is 12 B/voxel)."""
         g = (np.asarray(verts) - self.origin) / self.voxel_size
         g = np.clip(g, 0, np.array(self.dims) - 1.001)
-        i0 = np.floor(g).astype(int)
-        fr = g - i0
-        col = np.asarray(self.color[:self._n]).reshape(self.dims + (3,))
-        out = np.zeros((len(g), 3))
-        for dx in (0, 1):
-            for dy in (0, 1):
-                for dz in (0, 1):
-                    wgt = ((fr[:, 0] if dx else 1 - fr[:, 0])
-                           * (fr[:, 1] if dy else 1 - fr[:, 1])
-                           * (fr[:, 2] if dz else 1 - fr[:, 2]))
-                    out += wgt[:, None] * col[i0[:, 0] + dx, i0[:, 1] + dy,
-                                              i0[:, 2] + dz]
+        i0 = np.floor(g).astype(np.int64)
+        fr = (g - i0).astype(np.float32)
+        out = np.zeros((len(g), 3), np.float32)
+        dy, dz = self.dims[1], self.dims[2]
+        flat = (i0[:, 0] * dy + i0[:, 1]) * dz + i0[:, 2]
+        offs = {(dx, dyy, dzz): (dx * dy + dyy) * dz + dzz
+                for dx in (0, 1) for dyy in (0, 1) for dzz in (0, 1)}
+        base = 0
+        for i, c in enumerate(self._chunks):
+            col = self.color[i]
+            for (dx, dyy, dzz), off in offs.items():
+                tgt = flat + off
+                sel = (tgt >= base) & (tgt < base + c)
+                if not sel.any():
+                    continue
+                local = jnp.asarray(tgt[sel] - base, jnp.int32)
+                vals = np.asarray(col[local])
+                wgt = ((fr[sel, 0] if dx else 1 - fr[sel, 0])
+                       * (fr[sel, 1] if dyy else 1 - fr[sel, 1])
+                       * (fr[sel, 2] if dzz else 1 - fr[sel, 2]))
+                out[sel] += wgt[:, None] * vals
+            base += c
         return out
 
 

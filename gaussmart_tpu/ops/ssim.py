@@ -24,23 +24,31 @@ def _gaussian_window(window_size: int, sigma: float) -> np.ndarray:
 
 
 def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """Separable Gaussian blur over [N, C, H, W] with zero 'SAME' padding."""
-    n, c, h, w = img.shape
+    """Separable Gaussian blur over [N, C, H, W] with zero 'SAME' padding.
+
+    Written as k static shifted adds per axis instead of conv ops: TPU's
+    default conv precision truncates operands to bf16 (fatal for the
+    E[x^2] moments this feeds), while a HIGHEST-precision conv lowers to a
+    multi-pass MXU path that measurably slows the whole train step.
+    Shifted adds stay full fp32 on the VPU and fuse into one cheap kernel."""
     k = window.shape[0]
-    x = img.reshape(n * c, 1, h, w)
-    kh = window.reshape(1, 1, k, 1)
-    kw = window.reshape(1, 1, 1, k)
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
     pad = k // 2
-    # HIGHEST: the TPU default conv precision truncates operands to bf16,
-    # which destroys the second moments (E[x^2]) this blur feeds; the SSIM
-    # moments must be full fp32 like the reference's CUDA conv2d.
-    hi = jax.lax.Precision.HIGHEST
-    x = jax.lax.conv_general_dilated(x, kh, (1, 1), [(pad, pad), (0, 0)],
-                                     dimension_numbers=dn, precision=hi)
-    x = jax.lax.conv_general_dilated(x, kw, (1, 1), [(0, 0), (pad, pad)],
-                                     dimension_numbers=dn, precision=hi)
-    return x.reshape(n, c, h, w)
+    w_list = [window[i] for i in range(k)]
+
+    def blur_axis(x, axis):
+        size = x.shape[axis]
+        cfg = [(0, 0)] * x.ndim
+        cfg[axis] = (pad, pad)
+        xp = jnp.pad(x, cfg)
+        out = None
+        for i, wi in enumerate(w_list):
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(i, i + size)
+            term = wi * xp[tuple(sl)]
+            out = term if out is None else out + term
+        return out
+
+    return blur_axis(blur_axis(img, 2), 3)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,

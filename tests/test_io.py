@@ -97,6 +97,30 @@ def test_colmap_text_roundtrip(tmp_path):
     assert i2[3].name == "x.jpg"
 
 
+def test_colmap_images_text_empty_point_lines(tmp_path):
+    """Regression: images whose 2D-observation line is EMPTY (as this
+    repo's scene writer emits, and as COLMAP produces for images with zero
+    registered points) must all be read — the old reader stripped blank
+    lines before pair-striding and silently dropped every other image."""
+    ims = {i: colmap.ColmapImage(i, np.array([1.0, 0, 0, 0]),
+                                 np.array([0.0, 0.0, float(i)]), 1,
+                                 f"r_{i:02d}.png") for i in range(1, 9)}
+    colmap.write_images_text(str(tmp_path / "images.txt"), ims)
+    back = colmap.read_images_text(str(tmp_path / "images.txt"))
+    assert sorted(back) == sorted(ims), (len(back), len(ims))
+    # and the real-COLMAP shape too: non-empty 2D point lines
+    with open(tmp_path / "images2.txt", "w") as f:
+        f.write("# header\n")
+        for i, im in ims.items():
+            q = " ".join(str(v) for v in im.qvec)
+            t = " ".join(str(v) for v in im.tvec)
+            f.write(f"{i} {q} {t} 1 {im.name}\n")
+            f.write("1.5 2.5 7 3.5 4.5 9\n")
+    back2 = colmap.read_images_text(str(tmp_path / "images2.txt"))
+    assert sorted(back2) == sorted(ims)
+    assert back2[4].name == "r_04.png"
+
+
 def test_qvec_rotmat_roundtrip(rng):
     q = rng.normal(size=4)
     q /= np.linalg.norm(q)

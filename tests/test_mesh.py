@@ -89,17 +89,13 @@ def test_tsdf_chunked_matches_single(monkeypatch):
         vol = TSDFVolume((-1.2, -1.2, 1.0), (1.2, 1.2, 3.0),
                          voxel_size=0.1, sdf_trunc=0.3)
         vol.integrate(depth, rgb, cam.params(), depth_trunc=4.0)
-        return (np.asarray(vol.tsdf[:vol._n]),
-                np.asarray(vol.weight[:vol._n]),
-                np.asarray(vol.color[:vol._n]))
+        return (np.concatenate([np.asarray(t) for t in vol.tsdf]),
+                np.concatenate([np.asarray(w) for w in vol.weight]),
+                np.concatenate([np.asarray(c) for c in vol.color]))
 
     ref = fuse()
     monkeypatch.setattr(tsdf_mod, "CHUNK", 4096)  # grid is ~15k voxels
-    tsdf_mod._integrate_grid.clear_cache()
-    try:
-        chunked = fuse()
-    finally:
-        tsdf_mod._integrate_grid.clear_cache()
+    chunked = fuse()
     for a, b, nm in zip(ref, chunked, ("tsdf", "weight", "color")):
         np.testing.assert_allclose(b, a, atol=1e-6, err_msg=nm)
 
