@@ -47,7 +47,10 @@ class GaussianExtractor:
         render_fn = jax.jit(
             lambda cam: render(cam, self.state, self.bg,
                                depth_ratio=self.depth_ratio,
-                               backend=self.backend))
+                               backend=self.backend,
+                               # inference: generous duplicate budget so
+                               # exports never truncate (CUDA parity)
+                               raster_budget=(64, 12)))
         for cam in self.viewpoint_stack:
             pkg = render_fn(cam.params())
             self.rgbmaps.append(pkg["render"])

@@ -31,6 +31,7 @@ def render(
     depth_ratio: float = 0.0,
     backend: str = "auto",
     chunk: int = 64,
+    raster_budget: Optional[tuple] = None,
 ) -> Dict[str, jnp.ndarray]:
     return render_arrays(
         cam,
@@ -48,6 +49,7 @@ def render(
         depth_ratio=depth_ratio,
         backend=backend,
         chunk=chunk,
+        raster_budget=raster_budget,
     )
 
 
@@ -70,11 +72,14 @@ def render_arrays(
     chunk: int = 64,
     active_degree=None,
     need_dist_grad: bool = True,
+    raster_budget: Optional[tuple] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render from raw (already activated) arrays — the grad entry point.
     `active_degree` (traced) masks SH bands above it (see preprocess).
     `need_dist_grad=False` lets the Pallas backward statically skip the
-    distortion-channel gradient (safe when the loss ignores rend_dist)."""
+    distortion-channel gradient (safe when the loss ignores rend_dist).
+    `raster_budget=(max_dup, work_mult)` sets the Pallas duplicate budget
+    (see rasterize_tiled); None keeps the kernel defaults."""
     n = xyz.shape[0]
     if means2d is None:
         means2d = jnp.zeros((n, 2), jnp.float32)
@@ -91,10 +96,14 @@ def render_arrays(
                   or (backend == "auto" and raster_pallas.available()
                       and jax.default_backend() == "tpu"))
     if use_pallas:
+        budget = {}
+        if raster_budget is not None:
+            budget = dict(max_dup=int(raster_budget[0]),
+                          work_mult=int(raster_budget[1]))
         out = raster_pallas.rasterize_tiled(
             prep, means2d, bg_color, cam.width, cam.height,
             need_dist_grad=need_dist_grad,
-            need_med_grad=(depth_ratio != 0.0))
+            need_med_grad=(depth_ratio != 0.0), **budget)
     else:
         out = rasterize_pixels(prep, means2d, bg_color, cam.width, cam.height,
                                chunk=chunk)

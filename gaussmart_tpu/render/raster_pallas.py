@@ -604,7 +604,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
-             n_giants: int = 256, giant_dup: int = 240):
+             n_giants: int = 256, giant_dup: int = 240, work_mult: int = 3):
     """Duplicate-expand over 16x16 tiles and sort by a packed (tile|depth)
     int32 key into a per-tile K-aligned layout — with ONE sort and no
     scatter/compaction ops.
@@ -733,7 +733,7 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
     # Tier-2 entries ride in the 3N budget's slack (typical real duplicate
     # counts are well under 3N); a genuinely overflowing scene drops the
     # deepest-keyed entries and counts them, exactly as before.
-    M_keep = min(_round_up(max(3 * N, 4096), K) + n_tiles * K,
+    M_keep = min(_round_up(max(work_mult * N, 4096), K) + n_tiles * K,
                  keys_all.shape[0])
     keys_k = jax.lax.slice(keys_s, (0,), (M_keep,))
     idx_k = jnp.where(keys_k >= BIG, N, jax.lax.slice(sidx_s, (0,), (M_keep,)))
@@ -878,13 +878,21 @@ def _fb_to_maps(fb, order, tiles_x, tiles_y):
 
 def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
                     *, max_dup: int = 16, n_giants: int = 256,
-                    giant_dup: int = 240, interpret: bool | None = None,
+                    giant_dup: int = 240, work_mult: int = 3,
+                    interpret: bool | None = None,
                     need_dist_grad: bool = True, need_med_grad: bool = True
                     ) -> Dict[str, jnp.ndarray]:
     """`need_dist_grad`/`need_med_grad=False` compile a specialized backward
     that skips the distortion / median-depth gradient paths (valid whenever
     the loss never reads rend_dist / the median part of surf_depth, e.g. the
-    default recipe's lambda_dist=0, depth_ratio=0 — BASELINE.md)."""
+    default recipe's lambda_dist=0, depth_ratio=0 — BASELINE.md).
+
+    `max_dup`/`work_mult` set the duplicate budget (per-splat tile cap and
+    the global work_mult*N sort keep): late-training states whose splats
+    have grown to cover smooth regions can want far more than the default
+    3N duplicates — the trainer grows these when `n_dropped` stays high,
+    and inference paths pass a generous budget up front (the CUDA
+    reference never truncates)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     gx_count = -(-width // GROUP)
@@ -896,7 +904,8 @@ def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
     blob = _build_blob(prep, means2d, half_wh)
     padded_idx, starts, counts, order, n_dropped = jax.lax.stop_gradient(
         _binning(prep, tiles_x, tiles_y, max_dup,
-                 n_giants=n_giants, giant_dup=giant_dup))
+                 n_giants=n_giants, giant_dup=giant_dup,
+                 work_mult=work_mult))
 
     fb = _raster_core(blob, padded_idx, starts, counts, order, tiles_x,
                       tiles_y, interpret, need_dist_grad, need_med_grad)

@@ -88,11 +88,17 @@ def training(dataset: ModelParams, opt: OptimizationParams,
         mesh = make_mesh(n_devices)
 
     step_cache = {}
+    # Pallas duplicate budget: grown (recompile) when the kernel reports a
+    # sustained duplicate-drop rate — late-training splats legitimately
+    # cover many tiles and truncated renders corrupt both the loss and the
+    # in-loop eval (the CUDA reference never truncates).
+    raster_budget = [16, 3]
+    drop_strikes = [0]
 
     def get_step(st):
-        # the SH degree schedule is traced inside the step; only capacity
-        # changes force a recompile
-        key = st.capacity
+        # the SH degree schedule is traced inside the step; capacity and
+        # duplicate-budget changes force a recompile
+        key = (st.capacity, tuple(raster_budget))
         if key not in step_cache:
             if mesh is not None:
                 step_cache[key] = make_dp_train_step(
@@ -107,8 +113,26 @@ def training(dataset: ModelParams, opt: OptimizationParams,
                     white_background=dataset.white_background,
                     depth_ratio=pipe.depth_ratio, backend=pipe.backend,
                     dino_fn=dino_fn, spatial_lr_scale=st.spatial_lr_scale,
-                    adam_on_densify=adam_on_densify)
+                    adam_on_densify=adam_on_densify,
+                    raster_budget=tuple(raster_budget))
         return step_cache[key]
+
+    def maybe_grow_budget(n_dropped: int, n_active: int):
+        """Double (max_dup, work_mult) after 3 consecutive logged steps
+        dropping >1% of active splats' duplicates; capped at (128, 24)."""
+        if raster_budget[0] >= 128:
+            return
+        if n_dropped > max(512, n_active // 100):
+            drop_strikes[0] += 1
+        else:
+            drop_strikes[0] = 0
+        if drop_strikes[0] >= 3:
+            raster_budget[0] = min(raster_budget[0] * 2, 128)
+            raster_budget[1] = min(raster_budget[1] * 2, 24)
+            drop_strikes[0] = 0
+            print(f"[raster] duplicate budget grown to max_dup="
+                  f"{raster_budget[0]}, work_mult={raster_budget[1]} "
+                  f"(dropped {n_dropped})", flush=True)
 
     densify_step = make_densify_step(opt, extent=scene.cameras_extent)
 
@@ -175,6 +199,7 @@ def training(dataset: ModelParams, opt: OptimizationParams,
             stat_rows.append({
                 "iteration": iteration, "n_points": int(m.n_active),
                 "n_dropped": int(m.n_dropped)})
+            maybe_grow_budget(int(m.n_dropped), int(m.n_active))
             if tb is not None:
                 tb.scalar("train_loss_patches/total_loss", float(m.total), iteration)
                 tb.scalar("train_loss_patches/reg_loss", float(m.l1), iteration)
@@ -329,8 +354,10 @@ def _make_eval_view(depth_ratio: float, backend: str, white_bg: bool):
     # slow through remote-TPU backends
     @jax.jit
     def _eval_view(state, cam_params, gt_image):
+        # generous duplicate budget: eval must measure the model, not the
+        # training-time truncation (the CUDA reference never truncates)
         pkg = render(cam_params, state, bg, depth_ratio=depth_ratio,
-                     backend=backend)
+                     backend=backend, raster_budget=(64, 12))
         img = jnp.clip(pkg["render"], 0, 1)
         gt = jnp.clip(gt_image, 0, 1)
         return (img, l1_loss(img, gt), psnr_fn(img[None], gt[None])[0, 0],

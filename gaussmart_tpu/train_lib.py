@@ -39,7 +39,8 @@ class StepMetrics(NamedTuple):
 def _loss_and_aux(params: GaussianParams, means2d, aux_state, cam, gt_image,
                   iteration, opt: OptimizationParams, bg, sh_degree: int,
                   depth_ratio: float, backend: str,
-                  dino_fn: Optional[Callable] = None):
+                  dino_fn: Optional[Callable] = None,
+                  raster_budget: Optional[tuple] = None):
     scaling = jnp.exp(params.scaling)
     opacity = jax.nn.sigmoid(params.opacity[:, 0])
     features = jnp.concatenate([params.features_dc, params.features_rest], axis=1)
@@ -62,6 +63,7 @@ def _loss_and_aux(params: GaussianParams, means2d, aux_state, cam, gt_image,
         backend=backend,
         active_degree=active_degree,
         need_dist_grad=(opt.lambda_dist != 0.0),
+        raster_budget=raster_budget,
     )
     image = pkg["render"]
     loss, ll1 = photometric_loss(image, gt_image, opt.lambda_dssim)
@@ -86,7 +88,8 @@ def make_train_step(opt: OptimizationParams, *, sh_degree: int,
                     dino_fn: Optional[Callable] = None,
                     spatial_lr_scale: float = 1.0,
                     donate: bool = True,
-                    adam_on_densify: str = "drop"):
+                    adam_on_densify: str = "drop",
+                    raster_budget: Optional[tuple] = None):
     """Build the jitted single-iteration update for a given static config.
 
     adam_on_densify: "drop" (default; reference parity — the CUDA stack's
@@ -109,7 +112,7 @@ def make_train_step(opt: OptimizationParams, *, sh_degree: int,
         grad_fn = jax.value_and_grad(_loss_and_aux, argnums=(0, 1), has_aux=True)
         (total, extras), (gparams, gmeans2d) = grad_fn(
             params, means2d, aux_state, cam, gt_image, iteration, opt, bg,
-            sh_degree, depth_ratio, backend, dino_fn)
+            sh_degree, depth_ratio, backend, dino_fn, raster_budget)
 
         # densification statistics (train.py:198-203)
         in_window = iteration < opt.densify_until_iter

@@ -195,3 +195,11 @@ def test_truncation_stress_post_opacity_reset(rng):
     # for any GT in [0,1]
     assert psnr_vs_oracle(out) > 50.0, psnr_vs_oracle(out)
     assert psnr_vs_oracle(out) > psnr_vs_oracle(bare)
+
+    # grown budget (the trainer's adaptive escalation / inference default):
+    # zero drops and oracle-exact
+    grown = rasterize_tiled(prep, jnp.zeros((n, 2)), jnp.zeros(3), 128, 128,
+                            max_dup=64, work_mult=12, n_giants=0,
+                            interpret=True)
+    assert int(grown["n_dropped"]) == 0
+    assert psnr_vs_oracle(grown) > 55.0, psnr_vs_oracle(grown)
