@@ -319,6 +319,31 @@ def main():
             r, g, b = (np.clip(c, 0, 1) * 255).astype(int)
             f.write(f"{j} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} {r} {g} {b} 0.5\n")
 
+    # nerf-format exports so the segmentation preprocessing pipeline
+    # (`python -m gaussmart_tpu.semantics.pipeline -t nerf`) can run on this
+    # scene: poses_bounds.npy rows = flattened 4x4 c2w + focal (the 17-col
+    # layout of reference identification/camera_loader.py:61-105, which
+    # assumes 1024x1024 principal point — generate with --width/height 1024
+    # when alignment matters), and sparse/0/points3D.ply.
+    from gaussmart_tpu.io.ply import write_ply
+    rows = []
+    for R, t, eye in cams:
+        c2w = np.eye(4)
+        c2w[:3, :3] = R.T
+        c2w[:3, 3] = eye
+        rows.append(np.concatenate([c2w.reshape(16), [args.focal]]))
+    np.save(os.path.join(args.out, "poses_bounds.npy"),
+            np.asarray(rows, np.float64))
+    rgb8 = (np.clip(cols, 0, 1) * 255).astype(np.uint8)
+    write_ply(os.path.join(sparse, "points3D.ply"),
+              {"x": pts[:, 0].astype(np.float32),
+               "y": pts[:, 1].astype(np.float32),
+               "z": pts[:, 2].astype(np.float32),
+               "nx": np.zeros(len(pts), np.float32),
+               "ny": np.zeros(len(pts), np.float32),
+               "nz": np.zeros(len(pts), np.float32),
+               "red": rgb8[:, 0], "green": rgb8[:, 1], "blue": rgb8[:, 2]})
+
     gt_pts, _ = sample_surface(args.gt_points, rng)
     np.save(os.path.join(args.out, "gt_surface_points.npy"),
             gt_pts.astype(np.float32))
