@@ -15,8 +15,11 @@ the designed-from-scratch TPU equivalent:
    full (replicated) splat set for its rows; exact, no cross-device
    compositing needed because 2DGS compositing is per-pixel.
 
-Gaussian-sharded rasterization (splats sharded, per-tile fragment exchange)
-is the planned third axis for >10M-splat scenes; see parallel/DESIGN.md.
+ * **Gaussian-sharded rendering** (`render_gaussian_sharded`): splats
+   depth-stratified across the mesh, each device composites only its
+   stratum, partial framebuffers folded by the associativity of the `over`
+   operator — the memory-scaling axis for multi-million-splat scenes
+   (parallel/DESIGN.md §3).
 """
 from __future__ import annotations
 

@@ -109,6 +109,11 @@ class DinoEncoder:
     @staticmethod
     def create() -> "DinoEncoder":
         path = os.environ.get(WEIGHT_ENV)
+        if path == "random":
+            # Testing escape hatch: a small random-weight encoder so the
+            # full training loop can exercise the differentiable DINO path
+            # (compute + VJP inside the jitted step) without real weights.
+            return DinoEncoder.random()
         cands = ([path] if path else []) + DEFAULT_PATHS
         for c in cands:
             if c and os.path.exists(c):

@@ -180,6 +180,46 @@ def test_gaussian_sharded_render_matches_dense(rng):
                                np.asarray(ref["allmap"]), atol=2e-3)
 
 
+def test_gaussian_sharded_gradients_match_dense(rng):
+    """jax.grad flows through the two-pass sharded composite (stratum
+    gathers, all_gather of transmittance factors, psum fold): gradients wrt
+    splat opacity and color match the single-device dense composite — the
+    building block for Gaussian-sharded (model-parallel) training."""
+    from gaussmart_tpu.parallel.sharding import render_gaussian_sharded
+
+    mesh = make_mesh()
+    state, cams = make_scene(rng, n=32, width=32, height=24)
+    cam = cams[0].params()
+    base = raster_common.preprocess(
+        state.params.xyz, state.get_scaling, state.params.rotation,
+        state.get_opacity[:, 0], state.get_features, state.aux.active,
+        cam, sh_degree=0)
+    means2d = jnp.zeros((state.capacity, 2))
+    bg = jnp.array([0.3, 0.2, 0.1])
+    W = jnp.asarray(rng.random((3, 24, 32)), jnp.float32)
+
+    def loss_sharded(opacity, color):
+        prep = base._replace(opacity=opacity, color=color)
+        out = render_gaussian_sharded(mesh, prep, means2d, bg, 32, 24,
+                                      chunk=8)
+        return jnp.sum(out["image"] * W)
+
+    def loss_dense(opacity, color):
+        prep = base._replace(opacity=opacity, color=color)
+        out = rasterize_pixels(prep, means2d, bg, 32, 24, chunk=8)
+        return jnp.sum(out["image"] * W)
+
+    # shard_map requires jit for transforms (no eager closed_call)
+    g_s = jax.jit(jax.grad(loss_sharded, argnums=(0, 1)))(
+        base.opacity, base.color)
+    g_d = jax.jit(jax.grad(loss_dense, argnums=(0, 1)))(
+        base.opacity, base.color)
+    for a, b in zip(g_s, g_d):
+        scale = max(1.0, float(jnp.abs(b).max()))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-3 * scale)
+
+
 def test_gaussian_sharded_dense_overlap(rng):
     """Saturating overlap exercises the cross-stratum T_EPS cutoff and the
     median crossing landing mid-stratum."""

@@ -73,3 +73,34 @@ def test_training_driver_runs(tmp_path, blender_scene):
              start_checkpoint=str(out / "chkpnt30.npz"),
              use_dino_loss=False, quiet=True, capacity=256)
     assert (out / "point_cloud" / "iteration_32" / "point_cloud.ply").exists()
+
+
+def test_training_with_dino_loss(tmp_path, blender_scene, monkeypatch):
+    """The differentiable DINO term runs INSIDE the jitted train step
+    (compute + VJP through the ViT into the render) — training-time
+    evidence for the `fixed` mode, using the random-weight escape hatch
+    since real weights need egress (reference train.py:370-373 gates the
+    term past iter 3000; here dino_start_iter=0 so every step pays it)."""
+    import csv
+
+    from gaussmart_tpu.config import ModelParams, OptimizationParams, PipelineParams
+    from gaussmart_tpu.train import training
+
+    monkeypatch.setenv("GAUSSMART_DINO_WEIGHTS", "random")
+    dataset = ModelParams(source_path=str(blender_scene),
+                          model_path=str(tmp_path / "out_dino"),
+                          white_background=True, sh_degree=1, resolution=1)
+    opt = OptimizationParams(
+        iterations=10, densify_from_iter=100, densify_until_iter=100,
+        densification_interval=10, opacity_reset_interval=40,
+        opacity_cull=0.005, position_lr_max_steps=10)
+    training(dataset, opt, PipelineParams(backend="dense"), [], [10], [],
+             use_dino_loss=True, dino_start_iter=0, dino_mode="fixed",
+             quiet=True, capacity=256)
+
+    with open(tmp_path / "out_dino" / "dino_loss_log.csv") as f:
+        rows = list(csv.DictReader(f))
+    assert rows, "no loss log rows"
+    dino = [float(r["dino_loss"]) for r in rows]
+    assert any(d != 0.0 for d in dino), "DINO term never contributed"
+    assert all(np.isfinite(d) for d in dino)
