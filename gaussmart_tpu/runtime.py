@@ -7,8 +7,17 @@ import os
 def setup(cache_dir: str | None = None):
     """Enable the persistent XLA compilation cache (kernel compiles for the
     rasterizer take minutes on remote TPU backends; cache them across
-    processes) and keep default matmul precision at f32 for camera math."""
+    processes) and keep default matmul precision at f32 for camera math.
+
+    `GAUSSMART_PLATFORM=cpu` (or any platform name) force-selects the JAX
+    platform via jax.config — needed because some TPU plugins (axon) ignore
+    the standard JAX_PLATFORMS env var, and a stray CLI grabbing the one
+    real TPU chip mid-training can crash the worker."""
     import jax
+
+    plat = os.environ.get("GAUSSMART_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
 
     cache_dir = cache_dir or os.environ.get(
         "GAUSSMART_COMPILE_CACHE",

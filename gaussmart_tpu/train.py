@@ -232,8 +232,9 @@ def training(dataset: ModelParams, opt: OptimizationParams,
                 key, sub = jax.random.split(key)
                 use_size = iteration > opt.opacity_reset_interval
                 state, adam, dropped = densify_step(state, adam, sub, use_size)
-                if int(jax.device_get(dropped)) > 0:
-                    state, adam = _grow(state, adam)
+                n_drop = int(jax.device_get(dropped))
+                if n_drop > 0:
+                    state, adam = _grow(state, adam, n_drop)
                     step_cache.clear()
                     if mesh is not None:
                         sp, adam, sa = replicate(
@@ -303,10 +304,22 @@ def _flush_log(path, fields, rows):
         rows.clear()
 
 
-def _grow(state, adam):
-    """Double capacity when densify overflowed (recompile boundary)."""
-    new_cap = state.capacity * 2
-    print(f"[capacity] growing {state.capacity} -> {new_cap}")
+def _grow(state, adam, dropped: int = 0):
+    """Grow the arena when densify overflowed (recompile boundary).
+
+    1.25x buckets, not doubling: binning/sort cost scales with arena
+    CAPACITY, not active count (BASELINE.md), so a tight arena keeps the
+    post-growth step markedly faster than a 2x jump at DTU scale (a 152k
+    run in a 164k arena vs a 262k one). Each distinct capacity costs one
+    XLA compile, amortized by the persistent compilation cache. The
+    `dropped` floor covers this pass's rejected candidates so one growth
+    always suffices."""
+    cap = state.capacity
+    gran = max(cap // 8, 16)
+    need = int(state.n_active) + int(dropped) + gran
+    new_cap = max(int(cap * 1.25), cap + gran, need)
+    new_cap = -(-new_cap // gran) * gran
+    print(f"[capacity] growing {cap} -> {new_cap}")
     grown = grow_capacity(state, new_cap)
     pad = new_cap - adam.mu.xyz.shape[0]
 
