@@ -20,6 +20,10 @@ the designed-from-scratch TPU equivalent:
    stratum, partial framebuffers folded by the associativity of the `over`
    operator — the memory-scaling axis for multi-million-splat scenes
    (parallel/DESIGN.md §3).
+ * **Gaussian-sharded training** (`make_mp_train_step`): the full training
+   step with params, Adam moments, AD residuals and densification stats
+   sharded over the arena axis — per-chip HBM holds 1/D of the scene;
+   collectives move only prep rows + framebuffer maps.
 """
 from __future__ import annotations
 
@@ -158,6 +162,90 @@ def make_dp_train_step(opt: OptimizationParams, mesh: Mesh, *,
 
     donate_argnums = (0, 1, 2) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_mp_train_step(opt: OptimizationParams, mesh: Mesh, *,
+                       sh_degree: int, white_background: bool,
+                       depth_ratio: float = 0.0,
+                       spatial_lr_scale: float = 1.0, axis: str = "data",
+                       dino_fn=None, adam_on_densify: str = "drop"):
+    """Gaussian-sharded (model-parallel) training step — the memory-scaling
+    axis for scenes whose splat state outgrows one chip's HBM.
+
+    One camera per iteration (the reference schedule, train.py:100-102);
+    splat params, Adam moments, reverse-AD residuals and densification
+    statistics all carry a leading-arena-axis sharding over `mesh`, so each
+    chip holds 1/D of the scene state. The per-frame composite is
+    `render_gaussian_sharded`'s two-pass associative fold; its collectives
+    move only the ~21-float/splat preprocess rows plus [H,W] framebuffer
+    maps — never the 59-float params or the 118-float Adam state. Loss,
+    densify-stat and adam_on_densify semantics are identical to the
+    single-chip step (train_lib.make_train_step).
+
+    Arena capacity must be a multiple of the mesh size (every capacity the
+    CLI produces is a multiple of 256).
+    """
+    assert adam_on_densify in ("apply", "drop"), adam_on_densify
+    bg = jnp.asarray([1.0, 1.0, 1.0] if white_background else [0.0, 0.0, 0.0],
+                     jnp.float32)
+    from gaussmart_tpu.optim import AdamState
+    from gaussmart_tpu.train_lib import StepMetrics as _SM
+
+    shard = NamedSharding(mesh, P(axis))     # leading arena axis
+    rep = NamedSharding(mesh, P())
+    adam_sh = AdamState(mu=shard, nu=shard, step=rep)
+
+    def step(params, adam, aux_state, cam, gt_image, iteration):
+        means2d = jnp.zeros((params.xyz.shape[0], 2), jnp.float32)
+        grad_fn = jax.value_and_grad(_loss_and_aux, argnums=(0, 1),
+                                     has_aux=True)
+        (total, extras), (gparams, gmeans2d) = grad_fn(
+            params, means2d, aux_state, cam, gt_image, iteration, opt, bg,
+            sh_degree, depth_ratio, "gaussian_sharded", dino_fn, None, mesh)
+
+        in_window = iteration < opt.densify_until_iter
+        new_stats = add_densification_stats(aux_state, gmeans2d,
+                                            extras["radii"])
+        aux_state = jax.tree.map(
+            lambda new, old: jnp.where(in_window, new, old), new_stats,
+            aux_state)
+
+        lrs = group_lrs(opt, iteration, spatial_lr_scale)
+        new_params, new_adam = adam_step(params, gparams, adam, lrs,
+                                         aux_state.active)
+        if adam_on_densify == "drop":
+            is_densify = (in_window
+                          & (iteration > opt.densify_from_iter)
+                          & (iteration % opt.densification_interval == 0))
+            keep = lambda new, old: jnp.where(is_densify, old, new)
+            params = jax.tree.map(keep, new_params, params)
+            adam = jax.tree.map(keep, new_adam, adam)
+        else:
+            params, adam = new_params, new_adam
+
+        metrics = _SM(
+            total=total, l1=extras["l1"], dist=extras["dist"],
+            normal=extras["normal"], dino=extras["dino"],
+            psnr=extras["psnr"], n_active=aux_state.active.sum(),
+            n_dropped=extras["n_dropped"])
+        return params, adam, aux_state, metrics, iteration + 1
+
+    return jax.jit(
+        step,
+        in_shardings=(shard, adam_sh, shard, rep, rep, rep),
+        out_shardings=(shard, adam_sh, shard, rep, rep))
+
+
+def shard_state(params, adam, aux, mesh: Mesh, axis: str = "data"):
+    """Place scene state with the leading-arena-axis sharding
+    make_mp_train_step expects (params/moments/aux split over the mesh)."""
+    shard = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    put = lambda t, s: jax.tree.map(lambda a: jax.device_put(a, s), t)
+    from gaussmart_tpu.optim import AdamState
+    adam = AdamState(mu=put(adam.mu, shard), nu=put(adam.nu, shard),
+                     step=jax.device_put(adam.step, rep))
+    return put(params, shard), adam, put(aux, shard)
 
 
 def render_gaussian_sharded(mesh: Mesh, prep, means2d, bg, width: int,

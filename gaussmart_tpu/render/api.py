@@ -73,13 +73,17 @@ def render_arrays(
     active_degree=None,
     need_dist_grad: bool = True,
     raster_budget: Optional[tuple] = None,
+    mesh=None,
+    shard_axis: str = "data",
 ) -> Dict[str, jnp.ndarray]:
     """Render from raw (already activated) arrays — the grad entry point.
     `active_degree` (traced) masks SH bands above it (see preprocess).
     `need_dist_grad=False` lets the Pallas backward statically skip the
     distortion-channel gradient (safe when the loss ignores rend_dist).
     `raster_budget=(max_dup, work_mult)` sets the Pallas duplicate budget
-    (see rasterize_tiled); None keeps the kernel defaults."""
+    (see rasterize_tiled); None keeps the kernel defaults.
+    backend="gaussian_sharded" composites splat strata across `mesh`
+    (parallel/sharding.py) — the model-parallel memory-scaling path."""
     n = xyz.shape[0]
     if means2d is None:
         means2d = jnp.zeros((n, 2), jnp.float32)
@@ -95,7 +99,13 @@ def render_arrays(
     use_pallas = (backend == "pallas"
                   or (backend == "auto" and raster_pallas.available()
                       and jax.default_backend() == "tpu"))
-    if use_pallas:
+    if backend == "gaussian_sharded":
+        assert mesh is not None, "gaussian_sharded backend needs mesh="
+        from gaussmart_tpu.parallel.sharding import render_gaussian_sharded
+        out = render_gaussian_sharded(mesh, prep, means2d, bg_color,
+                                      cam.width, cam.height, chunk=chunk,
+                                      axis=shard_axis)
+    elif use_pallas:
         budget = {}
         if raster_budget is not None:
             budget = dict(max_dup=int(raster_budget[0]),

@@ -40,7 +40,8 @@ def _loss_and_aux(params: GaussianParams, means2d, aux_state, cam, gt_image,
                   iteration, opt: OptimizationParams, bg, sh_degree: int,
                   depth_ratio: float, backend: str,
                   dino_fn: Optional[Callable] = None,
-                  raster_budget: Optional[tuple] = None):
+                  raster_budget: Optional[tuple] = None,
+                  mesh=None):
     scaling = jnp.exp(params.scaling)
     opacity = jax.nn.sigmoid(params.opacity[:, 0])
     features = jnp.concatenate([params.features_dc, params.features_rest], axis=1)
@@ -64,6 +65,7 @@ def _loss_and_aux(params: GaussianParams, means2d, aux_state, cam, gt_image,
         active_degree=active_degree,
         need_dist_grad=(opt.lambda_dist != 0.0),
         raster_budget=raster_budget,
+        mesh=mesh,
     )
     image = pkg["render"]
     loss, ll1 = photometric_loss(image, gt_image, opt.lambda_dssim)

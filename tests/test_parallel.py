@@ -180,6 +180,49 @@ def test_gaussian_sharded_render_matches_dense(rng):
                                np.asarray(ref["allmap"]), atol=2e-3)
 
 
+def test_mp_train_step_matches_singlechip(rng):
+    """Model-parallel (Gaussian-sharded) TRAINING: params, Adam moments and
+    densify stats sharded over the 8-way mesh; one full step (render, loss,
+    reverse AD through the two-pass fold, stats, masked Adam) must match
+    the single-chip dense step, and the outputs must KEEP the arena
+    sharding — the memory-scaling contract."""
+    from gaussmart_tpu.parallel.sharding import (make_mp_train_step,
+                                                 shard_state)
+    from gaussmart_tpu.train_lib import make_train_step
+
+    mesh = make_mesh()
+    state, cams = make_scene(rng, n=32, width=32, height=24)
+    opt = OptimizationParams()
+    adam = init_adam(state.params)
+    cam = cams[0].params()
+    gt = jnp.asarray(rng.random((3, 24, 32)), jnp.float32)
+    it = jnp.asarray(1, jnp.int32)
+
+    ref_step = make_train_step(opt, sh_degree=0, white_background=False,
+                               backend="dense", spatial_lr_scale=1.0,
+                               donate=False)
+    rp, ra, rx, rm, _ = ref_step(state.params, adam, state.aux, cam, gt, it)
+
+    mp_step = make_mp_train_step(opt, mesh, sh_degree=0,
+                                 white_background=False)
+    sp, sa, sx = shard_state(state.params, adam, state.aux, mesh)
+    mp, ma, mx, mm, it2 = mp_step(sp, sa, sx, cam, gt, it)
+
+    np.testing.assert_allclose(float(mm.total), float(rm.total), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mp.xyz), np.asarray(rp.xyz),
+                               atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ma.mu.xyz), np.asarray(ra.mu.xyz),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(mx.grad_accum),
+                               np.asarray(rx.grad_accum), atol=1e-4,
+                               rtol=0.05)
+    assert int(it2) == 2
+    # memory-scaling contract: state stays split over the mesh
+    assert not mp.xyz.sharding.is_fully_replicated
+    assert not ma.mu.xyz.sharding.is_fully_replicated
+    assert not mx.grad_accum.sharding.is_fully_replicated
+
+
 def test_gaussian_sharded_gradients_match_dense(rng):
     """jax.grad flows through the two-pass sharded composite (stratum
     gathers, all_gather of transmittance factors, psum fold): gradients wrt
