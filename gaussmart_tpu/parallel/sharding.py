@@ -196,6 +196,14 @@ def make_mp_train_step(opt: OptimizationParams, mesh: Mesh, *,
     adam_sh = AdamState(mu=shard, nu=shard, step=rep)
 
     def step(params, adam, aux_state, cam, gt_image, iteration):
+        # re-pin the arena sharding on entry (instead of jit in_shardings,
+        # which rejects args the densify/reset programs re-placed)
+        params = jax.lax.with_sharding_constraint(params, shard)
+        aux_state = jax.lax.with_sharding_constraint(aux_state, shard)
+        adam = AdamState(
+            mu=jax.lax.with_sharding_constraint(adam.mu, shard),
+            nu=jax.lax.with_sharding_constraint(adam.nu, shard),
+            step=adam.step)
         means2d = jnp.zeros((params.xyz.shape[0], 2), jnp.float32)
         grad_fn = jax.value_and_grad(_loss_and_aux, argnums=(0, 1),
                                      has_aux=True)
@@ -231,9 +239,7 @@ def make_mp_train_step(opt: OptimizationParams, mesh: Mesh, *,
         return params, adam, aux_state, metrics, iteration + 1
 
     return jax.jit(
-        step,
-        in_shardings=(shard, adam_sh, shard, rep, rep, rep),
-        out_shardings=(shard, adam_sh, shard, rep, rep))
+        step, out_shardings=(shard, adam_sh, shard, rep, rep))
 
 
 def shard_state(params, adam, aux, mesh: Mesh, axis: str = "data"):

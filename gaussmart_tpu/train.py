@@ -50,11 +50,17 @@ def training(dataset: ModelParams, opt: OptimizationParams,
              capacity: Optional[int] = None,
              log_every: int = 10, profile_dir: Optional[str] = None,
              tensorboard: bool = True, gui=None, n_devices: int = 1,
-             adam_on_densify: str = "drop"):
-    """`n_devices > 1` trains camera-data-parallel over a JAX device mesh:
-    each step consumes n_devices views, grads/densification stats are
-    psum'd over ICI (equivalent to grad accumulation over the batch —
-    no reference counterpart, SURVEY.md §2.3 capability mapping)."""
+             adam_on_densify: str = "drop", parallel_mode: str = "dp"):
+    """`n_devices > 1` trains over a JAX device mesh (no reference
+    counterpart, SURVEY.md §2.3 capability mapping):
+
+    parallel_mode="dp": camera-data-parallel — each step consumes
+    n_devices views, grads/densification stats psum'd over ICI
+    (equivalent to grad accumulation over the batch).
+    parallel_mode="mp": Gaussian-sharded (model-parallel) — one view per
+    step (the reference schedule), splat params + Adam moments + stats
+    sharded over the arena axis so each chip holds 1/D of the scene."""
+    assert parallel_mode in ("dp", "mp"), parallel_mode
     os.makedirs(dataset.model_path, exist_ok=True)
     tb = TensorBoardLogger(dataset.model_path) if tensorboard else None
     scene = Scene(dataset, capacity=capacity, seed=seed)
@@ -84,8 +90,16 @@ def training(dataset: ModelParams, opt: OptimizationParams,
     mesh = None
     if n_devices > 1:
         from gaussmart_tpu.parallel.sharding import (make_dp_train_step,
-                                                     make_mesh, replicate)
+                                                     make_mesh,
+                                                     make_mp_train_step,
+                                                     replicate, shard_state)
         mesh = make_mesh(n_devices)
+
+        def place(params, adam, aux):
+            if parallel_mode == "mp":
+                return shard_state(params, adam, aux, mesh)
+            p, a, x = replicate((params, adam, aux), mesh)
+            return p, a, x
 
     step_cache = {}
     # Pallas duplicate budget: grown (recompile) when the kernel reports a
@@ -100,7 +114,14 @@ def training(dataset: ModelParams, opt: OptimizationParams,
         # duplicate-budget changes force a recompile
         key = (st.capacity, tuple(raster_budget))
         if key not in step_cache:
-            if mesh is not None:
+            if mesh is not None and parallel_mode == "mp":
+                step_cache[key] = make_mp_train_step(
+                    opt, mesh, sh_degree=st.max_sh_degree,
+                    white_background=dataset.white_background,
+                    depth_ratio=pipe.depth_ratio, dino_fn=dino_fn,
+                    spatial_lr_scale=st.spatial_lr_scale,
+                    adam_on_densify=adam_on_densify)
+            elif mesh is not None:
                 step_cache[key] = make_dp_train_step(
                     opt, mesh, sh_degree=st.max_sh_degree,
                     white_background=dataset.white_background,
@@ -152,7 +173,7 @@ def training(dataset: ModelParams, opt: OptimizationParams,
     key = jax.random.PRNGKey(seed)
     params, aux = state.params, state.aux
     if mesh is not None:
-        params, adam, aux = replicate((params, adam, aux), mesh)
+        params, adam, aux = place(params, adam, aux)
     it_dev = jnp.asarray(first_iter + 1, jnp.int32)
     ema = {"loss": 0.0, "dist": 0.0, "normal": 0.0, "dino": 0.0}
     t_start = time.time()
@@ -163,7 +184,7 @@ def training(dataset: ModelParams, opt: OptimizationParams,
             state = state.oneup_sh_degree()
 
         step = get_step(state)
-        if mesh is None:
+        if mesh is None or parallel_mode == "mp":
             idx = pop_view()
             params, adam, aux, metrics, it_dev = step(
                 params, adam, aux, cam_params[idx], gt_images[idx], it_dev)
@@ -233,13 +254,15 @@ def training(dataset: ModelParams, opt: OptimizationParams,
                 use_size = iteration > opt.opacity_reset_interval
                 state, adam, dropped = densify_step(state, adam, sub, use_size)
                 n_drop = int(jax.device_get(dropped))
-                if n_drop > 0:
+                grew = n_drop > 0
+                if grew:
                     state, adam = _grow(state, adam, n_drop)
                     step_cache.clear()
-                    if mesh is not None:
-                        sp, adam, sa = replicate(
-                            (state.params, adam, state.aux), mesh)
-                        state = state.replace(params=sp, aux=sa)
+                if mesh is not None and (grew or parallel_mode == "mp"):
+                    # mp: densify's scatters leave XLA-chosen placements;
+                    # re-pin the arena sharding before the next step
+                    sp, adam, sa = place(state.params, adam, state.aux)
+                    state = state.replace(params=sp, aux=sa)
                 params, aux = state.params, state.aux
             if (iteration % opt.opacity_reset_interval == 0
                     or (dataset.white_background
@@ -474,8 +497,14 @@ def build_parser() -> ArgumentParser:
     parser.add_argument("--gui", action="store_true",
                         help="serve the live viewer during training")
     parser.add_argument("--n_devices", type=int, default=1,
-                        help="camera-data-parallel training over this many "
-                             "devices of the JAX mesh (grads psum'd on ICI)")
+                        help="multi-device training over this many devices "
+                             "of the JAX mesh (see --parallel_mode)")
+    parser.add_argument("--parallel_mode", type=str, default="dp",
+                        choices=["dp", "mp"],
+                        help="dp: camera-data-parallel (state replicated, "
+                             "grads psum'd on ICI); mp: Gaussian-sharded "
+                             "model-parallel (params+Adam split over the "
+                             "arena axis, 1/N of scene state per chip)")
     parser.add_argument("--adam_on_densify", type=str, default="drop",
                         choices=["apply", "drop"],
                         help="'drop' (default) reproduces the reference "
@@ -541,6 +570,7 @@ def main(argv=None):
                  capacity=args.capacity,
                  tensorboard=not args.no_tensorboard, gui=gui,
                  n_devices=args.n_devices,
+                 parallel_mode=args.parallel_mode,
                  adam_on_densify=args.adam_on_densify)
     print("\nTraining complete.")
 

@@ -137,6 +137,58 @@ def test_dp_training_with_densify_via_cli_driver(rng, tmp_path):
             / "point_cloud.ply").exists()
 
 
+def test_mp_training_with_densify_via_cli_driver(rng, tmp_path):
+    """training(n_devices=4, parallel_mode='mp'): Gaussian-sharded training
+    through the real driver, including a densify pass + capacity handling
+    (arena sharding re-pinned after scatters)."""
+    import json
+    import os
+    from PIL import Image
+    from gaussmart_tpu.io.ply import store_point_cloud
+    from gaussmart_tpu.config import (ModelParams, OptimizationParams,
+                                      PipelineParams)
+    from gaussmart_tpu.train import training
+
+    src = tmp_path / "scene"
+    os.makedirs(src / "train")
+    frames = []
+    for i in range(8):
+        img = np.zeros((24, 24, 4), np.uint8)
+        img[6:18, 6:18, 0] = 255
+        img[:, :, 3] = 255
+        Image.fromarray(img, "RGBA").save(src / "train" / f"r_{i}.png")
+        ang = 0.1 * i
+        c, s = np.cos(ang), np.sin(ang)
+        c2w = np.array([[c, 0, s, 0.1 * i], [0, 1, 0, 0],
+                        [-s, 0, c, 3.0], [0, 0, 0, 1.0]])
+        frames.append({"file_path": f"train/r_{i}",
+                       "transform_matrix": c2w.tolist()})
+    for split in ("train", "test"):
+        with open(src / f"transforms_{split}.json", "w") as f:
+            json.dump({"camera_angle_x": 0.8, "frames": frames}, f)
+    pts = rng.uniform(-0.5, 0.5, (64, 3)).astype(np.float32)
+    store_point_cloud(str(src / "points3d.ply"), pts,
+                      rng.integers(0, 255, (64, 3)).astype(np.float64))
+
+    dataset = ModelParams(source_path=str(src),
+                          model_path=str(tmp_path / "out_mp"),
+                          white_background=True, sh_degree=1, resolution=1)
+    opt = OptimizationParams(
+        iterations=25, densify_from_iter=5, densify_until_iter=22,
+        densification_interval=10, opacity_reset_interval=40,
+        opacity_cull=0.005, position_lr_max_steps=25)
+    pipe = PipelineParams(backend="dense")
+    state, adam = training(
+        dataset, opt, pipe, testing_iterations=[], saving_iterations=[25],
+        checkpoint_iterations=[], use_dino_loss=False, quiet=True,
+        capacity=256, n_devices=4, parallel_mode="mp")
+    assert int(state.n_active) > 0
+    assert (tmp_path / "out_mp" / "point_cloud" / "iteration_25"
+            / "point_cloud.ply").exists()
+    # state leaves carry the arena sharding, not replicas
+    assert not state.params.xyz.sharding.is_fully_replicated
+
+
 def test_row_sharded_render_matches_dense(rng):
     mesh = make_mesh()
     state, cams = make_scene(rng)
