@@ -85,6 +85,8 @@ def evaluate(model_paths, use_lpips: bool = True):
 
 
 def main(argv=None):
+    from gaussmart_tpu.runtime import setup as _runtime_setup
+    _runtime_setup()
     parser = ArgumentParser(description="metric evaluation")
     parser.add_argument("--model_paths", "-m", required=True, nargs="+")
     parser.add_argument("--no_lpips", action="store_true")

@@ -167,6 +167,8 @@ class Pipeline:
 
 
 def main(argv=None):
+    from gaussmart_tpu.runtime import setup as _runtime_setup
+    _runtime_setup()
     parser = argparse.ArgumentParser(
         description="3D point-cloud segmentation pipeline")
     parser.add_argument("-s", "--scan_path", required=True)

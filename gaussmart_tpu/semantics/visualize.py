@@ -60,6 +60,8 @@ def overlay_heatmap(image: np.ndarray, heat: np.ndarray,
 
 
 def main(argv=None):
+    from gaussmart_tpu.runtime import setup as _runtime_setup
+    _runtime_setup()
     parser = ArgumentParser(description="DINO heatmap visualization")
     parser.add_argument("-i", "--image", required=True)
     parser.add_argument("-o", "--output", required=True)

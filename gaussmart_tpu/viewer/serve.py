@@ -49,6 +49,8 @@ def view(dataset: ModelParams, pipe: PipelineParams, iteration: int,
 
 
 def main(argv=None):
+    from gaussmart_tpu.runtime import setup as _runtime_setup
+    _runtime_setup()
     parser = ArgumentParser(description="gaussmart_tpu live viewer")
     add_group_args(parser, ModelParams)
     add_group_args(parser, PipelineParams)
