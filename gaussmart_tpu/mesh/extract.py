@@ -28,12 +28,14 @@ from gaussmart_tpu.trajectory import (estimate_bounding_sphere, save_img_f32,
 
 class GaussianExtractor:
     def __init__(self, state: GaussianState, bg_color=None,
-                 depth_ratio: float = 0.0, backend: str = "auto"):
+                 depth_ratio: float = 0.0, backend: str = "auto",
+                 mesh=None):
         self.state = state
         self.bg = jnp.asarray(bg_color if bg_color is not None else [0, 0, 0],
                               jnp.float32)
         self.depth_ratio = depth_ratio
         self.backend = backend
+        self.mesh = mesh          # device mesh for *_sharded backends
         self.clean()
 
     def clean(self):
@@ -47,7 +49,7 @@ class GaussianExtractor:
         render_fn = jax.jit(
             lambda cam: render(cam, self.state, self.bg,
                                depth_ratio=self.depth_ratio,
-                               backend=self.backend,
+                               backend=self.backend, mesh=self.mesh,
                                # inference: generous duplicate budget so
                                # exports never truncate (CUDA parity)
                                raster_budget=(64, 12)))

@@ -32,6 +32,8 @@ def render(
     backend: str = "auto",
     chunk: int = 64,
     raster_budget: Optional[tuple] = None,
+    mesh=None,
+    shard_axis: str = "data",
 ) -> Dict[str, jnp.ndarray]:
     return render_arrays(
         cam,
@@ -50,6 +52,8 @@ def render(
         backend=backend,
         chunk=chunk,
         raster_budget=raster_budget,
+        mesh=mesh,
+        shard_axis=shard_axis,
     )
 
 
@@ -105,6 +109,18 @@ def render_arrays(
         out = render_gaussian_sharded(mesh, prep, means2d, bg_color,
                                       cam.width, cam.height, chunk=chunk,
                                       axis=shard_axis)
+    elif backend == "row_sharded":
+        assert mesh is not None, "row_sharded backend needs mesh="
+        from gaussmart_tpu.parallel.sharding import render_row_sharded
+        # pad the row count to the mesh size, crop after (projection lives
+        # in prep — extra rows are dead pixels, exactness is untouched)
+        d = mesh.devices.size
+        h_pad = ((cam.height + d - 1) // d) * d
+        out = render_row_sharded(mesh, prep, means2d, bg_color,
+                                 cam.width, h_pad, chunk=chunk,
+                                 axis=shard_axis)
+        out = {"image": out["image"][:, :cam.height],
+               "allmap": out["allmap"][:, :cam.height]}
     elif use_pallas:
         budget = {}
         if raster_budget is not None:

@@ -38,6 +38,13 @@ def main(argv=None):
     parser.add_argument("--num_cluster", default=50, type=int)
     parser.add_argument("--unbounded", action="store_true")
     parser.add_argument("--mesh_res", default=1024, type=int)
+    parser.add_argument("--n_devices", default=1, type=int,
+                        help="multi-device inference over a JAX mesh")
+    parser.add_argument("--shard_mode", default="row",
+                        choices=["row", "gaussian"],
+                        help="row: image rows sharded (large frames); "
+                             "gaussian: splat strata sharded (scenes "
+                             "beyond one chip's HBM)")
     args = get_combined_args(parser, argv)
     print("Rendering " + args.model_path)
 
@@ -47,12 +54,20 @@ def main(argv=None):
     state = scene.gaussians
     bg = [1, 1, 1] if dataset.white_background else [0, 0, 0]
 
+    mesh = None
+    backend = pipe.backend
+    if args.n_devices > 1:
+        from gaussmart_tpu.parallel.sharding import make_mesh
+        mesh = make_mesh(args.n_devices)
+        backend = ("gaussian_sharded" if args.shard_mode == "gaussian"
+                   else "row_sharded")
+
     it = scene.loaded_iter
     train_dir = os.path.join(args.model_path, "train", f"ours_{it}")
     test_dir = os.path.join(args.model_path, "test", f"ours_{it}")
     extractor = GaussianExtractor(state, bg_color=bg,
                                   depth_ratio=pipe.depth_ratio,
-                                  backend=pipe.backend)
+                                  backend=backend, mesh=mesh)
 
     if not args.skip_train:
         print("export training images ...")

@@ -315,6 +315,34 @@ def test_gaussian_sharded_gradients_match_dense(rng):
                                    atol=2e-3 * scale)
 
 
+def test_api_render_sharded_backends_match_dense(rng):
+    """Multi-device inference through the public render API (what the
+    render CLI's --n_devices uses): row_sharded with a height that is NOT
+    a multiple of the mesh (pad+crop path) and gaussian_sharded, both
+    against the dense composite including the full allmap decode."""
+    from gaussmart_tpu.render.api import render
+
+    mesh = make_mesh()
+    state, cams = make_scene(rng, n=32, width=32, height=28)  # 28 % 8 != 0
+    cam = cams[0].params()
+    bg = jnp.array([0.15, 0.25, 0.35])
+
+    ref = render(cam, state, bg, backend="dense")
+    row = render(cam, state, bg, backend="row_sharded", mesh=mesh)
+    gs = render(cam, state, bg, backend="gaussian_sharded", mesh=mesh)
+
+    for key, atol_row, atol_gs in (("render", 1e-5, 5e-4),
+                                   ("rend_alpha", 1e-5, 5e-4),
+                                   ("surf_depth", 1e-4, 5e-3),
+                                   ("rend_normal", 1e-5, 5e-4)):
+        np.testing.assert_allclose(np.asarray(row[key]),
+                                   np.asarray(ref[key]), atol=atol_row,
+                                   err_msg=f"row_sharded {key}")
+        np.testing.assert_allclose(np.asarray(gs[key]),
+                                   np.asarray(ref[key]), atol=atol_gs,
+                                   err_msg=f"gaussian_sharded {key}")
+
+
 def test_gaussian_sharded_dense_overlap(rng):
     """Saturating overlap exercises the cross-stratum T_EPS cutoff and the
     median crossing landing mid-stratum."""
