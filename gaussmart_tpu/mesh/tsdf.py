@@ -16,6 +16,7 @@ Two modes, mirroring the reference's meshing paths (utils/mesh_utils.py):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -53,7 +54,7 @@ def _bilinear(img: jnp.ndarray, ndc: jnp.ndarray):
             + v10 * (1 - fx) * fy + v11 * fx * fy)
 
 
-CHUNK = 16_777_216  # voxels per inner step; bounds transient memory
+CHUNK = 8_388_608   # voxels per inner step; bounds transient memory
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -106,7 +107,13 @@ class TSDFVolume:
     """Dense bounded TSDF grid."""
 
     def __init__(self, bounds_min, bounds_max, voxel_size: float,
-                 sdf_trunc: float, max_voxels: int = 420_000_000):
+                 sdf_trunc: float, max_voxels: int = None):
+        if max_voxels is None:
+            # grid state is 20 B/voxel (tsdf+weight+rgb f32); 200M ≈ 4 GB,
+            # which coexists with the scene/render buffers on a 16 GB v5e.
+            # Bigger chips (v5p: 95 GB) can raise this.
+            max_voxels = int(os.environ.get("GAUSSMART_TSDF_MAX_VOXELS",
+                                            200_000_000))
         self.voxel_size = float(voxel_size)
         self.sdf_trunc = float(sdf_trunc)
         self.origin = np.asarray(bounds_min, np.float64)
