@@ -256,7 +256,8 @@ def shard_state(params, adam, aux, mesh: Mesh, axis: str = "data"):
 
 def render_gaussian_sharded(mesh: Mesh, prep, means2d, bg, width: int,
                             height: int, chunk: int = 64,
-                            axis: str = "data"):
+                            axis: str = "data", backend: str = "dense",
+                            raster_kwargs: Optional[dict] = None):
     """Splat-sharded rendering (parallel/DESIGN.md §3): splats are depth-
     sorted and split into mesh-size contiguous strata; each device
     composites ONLY its stratum (1/D of the splats — the memory-scaling
@@ -275,8 +276,28 @@ def render_gaussian_sharded(mesh: Mesh, prep, means2d, bg, width: int,
     with the exact incoming (T, M1, M2) so every accumulator — including
     the T>0.5 median crossing and A_before in the distortion integral —
     is computed against GLOBAL state; a psum then combines the per-shard
-    contributions."""
+    contributions.
+
+    backend="pallas" runs both passes through the production tiled kernel
+    (rasterize_tiled init_state — INFERENCE-ONLY, no gradients; train
+    model-parallel with the default dense backend, whose two-pass fold is
+    fully differentiable). `raster_kwargs` forwards duplicate budgets etc.
+    to rasterize_tiled."""
     from gaussmart_tpu.render.raster_dense import rasterize_pixels
+
+    if backend == "pallas":
+        from gaussmart_tpu.render.raster_pallas import rasterize_tiled
+
+        def raster(prep_l, means2d_l, init=None):
+            return rasterize_tiled(
+                prep_l, means2d_l, jnp.zeros(3), width, height,
+                init_state=init, return_raw=True,
+                **(raster_kwargs or {}))["raw"]
+    else:
+        def raster(prep_l, means2d_l, init=None):
+            return rasterize_pixels(
+                prep_l, means2d_l, jnp.zeros(3), width, height,
+                chunk=chunk, return_raw=True, init_state=init)["raw"]
 
     n_dev = mesh.devices.size
     N = prep.depth.shape[0]
@@ -305,8 +326,7 @@ def render_gaussian_sharded(mesh: Mesh, prep, means2d, bg, width: int,
         rank = jax.lax.axis_index(axis)
 
         # pass 1: local composite (init T=1) -> stratum summary
-        p1 = rasterize_pixels(prep_l, means2d_l, jnp.zeros(3), width, height,
-                              chunk=chunk, return_raw=True)["raw"]
+        p1 = raster(prep_l, means2d_l)
         factors = jax.lax.all_gather(
             jnp.stack([p1["T"], p1["M1"], p1["M2"]]), axis)      # [D,3,P]
         ranks = jnp.arange(n_dev)
@@ -321,10 +341,8 @@ def render_gaussian_sharded(mesh: Mesh, prep, means2d, bg, width: int,
         M2_in = jnp.sum(jnp.where(before, T_in_all * factors[:, 2], 0.0), 0)
 
         # pass 2: exact re-composite against global incoming state
-        p2 = rasterize_pixels(prep_l, means2d_l, jnp.zeros(3), width, height,
-                              chunk=chunk, return_raw=True,
-                              init_state={"T": T_in, "M1": M1_in,
-                                          "M2": M2_in})["raw"]
+        p2 = raster(prep_l, means2d_l,
+                    init={"T": T_in, "M1": M1_in, "M2": M2_in})
 
         local = {
             "color": p2["color"], "normal": p2["normal"],

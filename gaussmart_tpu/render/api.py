@@ -103,12 +103,22 @@ def render_arrays(
     use_pallas = (backend == "pallas"
                   or (backend == "auto" and raster_pallas.available()
                       and jax.default_backend() == "tpu"))
-    if backend == "gaussian_sharded":
+    if backend in ("gaussian_sharded", "gaussian_sharded_pallas"):
         assert mesh is not None, "gaussian_sharded backend needs mesh="
         from gaussmart_tpu.parallel.sharding import render_gaussian_sharded
+        # "gaussian_sharded" composites each stratum with the dense XLA
+        # compositor (fully differentiable — the MP training path);
+        # "_pallas" rides the production tiled kernel via its init_state
+        # seed (INFERENCE-ONLY: no gradients through the seeded pass).
+        inner = "pallas" if backend.endswith("_pallas") else "dense"
+        rkw = None
+        if inner == "pallas" and raster_budget is not None:
+            rkw = dict(max_dup=int(raster_budget[0]),
+                       work_mult=int(raster_budget[1]))
         out = render_gaussian_sharded(mesh, prep, means2d, bg_color,
                                       cam.width, cam.height, chunk=chunk,
-                                      axis=shard_axis)
+                                      axis=shard_axis, backend=inner,
+                                      raster_kwargs=rkw)
     elif backend == "row_sharded":
         assert mesh is not None, "row_sharded backend needs mesh="
         from gaussmart_tpu.parallel.sharding import render_row_sharded

@@ -267,9 +267,16 @@ def _pack_row(vals):
 
 
 
-def _make_fwd_kernel(tiles_x: int):
-    def kernel(starts_ref, counts_ref, order_ref, blob_ref, fb_ref, ints_ref,
-               chunk, sems):
+def _make_fwd_kernel(tiles_x: int, with_init: bool = False):
+    """`with_init=True` adds a per-pixel (T, M1, M2) seed input so a depth-
+    contiguous SEGMENT of a larger splat set composites exactly against the
+    global incoming state (Gaussian-sharded rendering, parallel/DESIGN.md
+    §3) — the tiled analogue of rasterize_pixels' init_state."""
+    def kernel(starts_ref, counts_ref, order_ref, blob_ref, *rest):
+        if with_init:
+            init_ref, fb_ref, ints_ref, chunk, sems = rest
+        else:
+            fb_ref, ints_ref, chunk, sems = rest
         g = pl.program_id(0)
         tids = [order_ref[STREAMS * g + s] for s in range(STREAMS)]
         px, py, stream_id = _stream_pixels(tids, tiles_x)
@@ -282,11 +289,15 @@ def _make_fwd_kernel(tiles_x: int):
 
         zero = jnp.zeros((8, 128), jnp.float32)
         izero = jnp.zeros((8, 128), jnp.int32)
+        if with_init:
+            T0, M1_0, M2_0 = init_ref[0, 0], init_ref[0, 1], init_ref[0, 2]
+        else:
+            T0, M1_0, M2_0 = jnp.ones((8, 128), jnp.float32), zero, zero
         state0 = dict(
-            T=jnp.ones((8, 128), jnp.float32), done=izero,
+            T=T0, done=izero,
             C0=zero, C1=zero, C2=zero, D=zero, A=zero,
             N0=zero, N1=zero, N2=zero, med=zero, dist=zero,
-            M1=zero, M2=zero, n_contrib=izero, med_e=izero - 1)
+            M1=M1_0, M2=M2_0, n_contrib=izero, med_e=izero - 1)
 
         def start_dmas(slot, c):
             for s in range(STREAMS):
@@ -766,14 +777,21 @@ def _raster_core(blob, padded_idx, starts, counts, order, tiles_x, tiles_y,
 
 
 def _core_fwd_impl(blob, padded_idx, starts, counts, order, tiles_x,
-                   tiles_y, interpret):
+                   tiles_y, interpret, init=None):
     n_groups = (tiles_x * tiles_y) // STREAMS
     pblob = jnp.pad(blob, ((0, 0), (0, F_PAD - F)))[padded_idx]  # [M_pad,F_PAD]
-    kernel = _make_fwd_kernel(tiles_x)
+    kernel = _make_fwd_kernel(tiles_x, with_init=init is not None)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
+    inputs = (pblob,)
+    if init is not None:
+        in_specs.append(pl.BlockSpec((1, 3, 8, 128),
+                                     lambda t, *_: (t, 0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs = (pblob, init)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_groups,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, CH, 8, 128), lambda t, *_: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -793,7 +811,7 @@ def _core_fwd_impl(blob, padded_idx, starts, counts, order, tiles_x,
             jax.ShapeDtypeStruct((n_groups, 2, 8, 128), jnp.int32),
         ),
         interpret=interpret,
-    )(starts, counts, order, pblob)
+    )(starts, counts, order, *inputs)
     return fb, ints, pblob
 
 
@@ -876,11 +894,27 @@ def _fb_to_maps(fb, order, tiles_x, tiles_y):
     return tb.reshape(CH, tiles_y * TILE, tiles_x * TILE)
 
 
+def _maps_to_fb(maps, order, tiles_x, tiles_y):
+    """[C, H_pad, W_pad] -> [n_groups, C, 8, 128] in the kernel's
+    group/stream layout — the exact inverse of _fb_to_maps."""
+    C = maps.shape[0]
+    tb = maps.reshape(C, tiles_y, 2, 8, tiles_x, TILE)
+    # [C, ty, a, b1, tx, px] -> [ty, tx, C, a, (b1 px)=lane]
+    per_tile = jnp.transpose(tb, (1, 4, 0, 2, 3, 5)).reshape(
+        tiles_y * tiles_x, C, 2, 128)
+    gathered = per_tile[order]                        # rank-ordered tiles
+    g4 = gathered.reshape(-1, STREAMS, C, 2, 128)
+    out = jnp.transpose(g4, (0, 2, 3, 1, 4))          # [g, C, a, band, lane]
+    return out.reshape(-1, C, 8, 128)                 # sublane = a*4 + band
+
+
 def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
                     *, max_dup: int = 16, n_giants: int = 256,
                     giant_dup: int = 240, work_mult: int = 3,
                     interpret: bool | None = None,
-                    need_dist_grad: bool = True, need_med_grad: bool = True
+                    need_dist_grad: bool = True, need_med_grad: bool = True,
+                    init_state: Dict[str, jnp.ndarray] | None = None,
+                    return_raw: bool = False
                     ) -> Dict[str, jnp.ndarray]:
     """`need_dist_grad`/`need_med_grad=False` compile a specialized backward
     that skips the distortion / median-depth gradient paths (valid whenever
@@ -892,7 +926,16 @@ def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
     have grown to cover smooth regions can want far more than the default
     3N duplicates — the trainer grows these when `n_dropped` stays high,
     and inference paths pass a generous budget up front (the CUDA
-    reference never truncates)."""
+    reference never truncates).
+
+    `init_state` (flat [H*W] "T"/"M1"/"M2", same contract as
+    rasterize_pixels) seeds the per-pixel compositing state so a depth-
+    contiguous SEGMENT of a larger splat set composites exactly against
+    global incoming transmittance/moments — the production-kernel path for
+    Gaussian-sharded rendering. INFERENCE-ONLY: gradients do not flow
+    through this path (train model-parallel with the dense backend).
+    `return_raw=True` adds the flat per-pixel final state (premultiplied
+    color/normal, T, moments) matching rasterize_pixels' raw dict."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     gx_count = -(-width // GROUP)
@@ -907,15 +950,43 @@ def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
                  n_giants=n_giants, giant_dup=giant_dup,
                  work_mult=work_mult))
 
-    fb = _raster_core(blob, padded_idx, starts, counts, order, tiles_x,
-                      tiles_y, interpret, need_dist_grad, need_med_grad)
+    if init_state is None:
+        fb = _raster_core(blob, padded_idx, starts, counts, order, tiles_x,
+                          tiles_y, interpret, need_dist_grad, need_med_grad)
+    else:
+        H_pad, W_pad = tiles_y * TILE, tiles_x * TILE
+
+        def pad_map(x, fill):
+            m = jnp.asarray(x).reshape(1, height, width)
+            return jnp.pad(m, ((0, 0), (0, H_pad - height),
+                               (0, W_pad - width)), constant_values=fill)
+
+        init_maps = jnp.concatenate([
+            pad_map(init_state["T"], 1.0),
+            pad_map(init_state.get("M1", jnp.zeros(height * width)), 0.0),
+            pad_map(init_state.get("M2", jnp.zeros(height * width)), 0.0),
+        ], axis=0)
+        init_fb = _maps_to_fb(init_maps, order, tiles_x, tiles_y)
+        fb, _, _ = _core_fwd_impl(
+            jax.lax.stop_gradient(blob), padded_idx, starts, counts, order,
+            tiles_x, tiles_y, interpret,
+            init=jax.lax.stop_gradient(init_fb))
     maps = _fb_to_maps(fb, order, tiles_x, tiles_y)[:, :height, :width]
 
     image = maps[0:3] + maps[10][None] * bg[:, None, None]
     allmap = jnp.stack([maps[3], maps[4], maps[5], maps[6], maps[7],
                         maps[8], maps[9]], axis=0)
-    return {"image": image, "allmap": allmap,
-            "n_dropped": jax.lax.stop_gradient(n_dropped)}
+    out = {"image": image, "allmap": allmap,
+           "n_dropped": jax.lax.stop_gradient(n_dropped)}
+    if return_raw:
+        flat = lambda i: maps[i].reshape(-1)
+        out["raw"] = {
+            "color": maps[0:3].reshape(3, -1),
+            "normal": maps[5:8].reshape(3, -1),
+            "depth": flat(3), "alpha": flat(4), "median": flat(8),
+            "dist": flat(9), "T": flat(10), "M1": flat(11), "M2": flat(12),
+        }
+    return out
 
 
 def available() -> bool:

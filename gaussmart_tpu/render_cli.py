@@ -57,10 +57,19 @@ def main(argv=None):
     mesh = None
     backend = pipe.backend
     if args.n_devices > 1:
+        import jax
+
         from gaussmart_tpu.parallel.sharding import make_mesh
         mesh = make_mesh(args.n_devices)
-        backend = ("gaussian_sharded" if args.shard_mode == "gaussian"
-                   else "row_sharded")
+        if args.shard_mode == "gaussian":
+            # inference: per-stratum compositing rides the production
+            # Pallas kernel on TPU (dense elsewhere — interpret mode is
+            # correct but slow off-TPU)
+            backend = ("gaussian_sharded_pallas"
+                       if jax.default_backend() == "tpu"
+                       else "gaussian_sharded")
+        else:
+            backend = "row_sharded"
 
     it = scene.loaded_iter
     train_dir = os.path.join(args.model_path, "train", f"ours_{it}")

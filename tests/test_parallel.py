@@ -232,6 +232,31 @@ def test_gaussian_sharded_render_matches_dense(rng):
                                np.asarray(ref["allmap"]), atol=2e-3)
 
 
+def test_gaussian_sharded_render_pallas_backend(rng):
+    """The production tiled kernel behind the two-pass fold (init_state
+    path, interpret mode on the virtual mesh) must match the dense
+    composite too."""
+    from gaussmart_tpu.parallel.sharding import render_gaussian_sharded
+
+    mesh = make_mesh()
+    state, cams = make_scene(rng, n=32, width=32, height=24)
+    cam = cams[0].params()
+    prep = raster_common.preprocess(
+        state.params.xyz, state.get_scaling, state.params.rotation,
+        state.get_opacity[:, 0], state.get_features, state.aux.active,
+        cam, sh_degree=0)
+    means2d = jnp.zeros((state.capacity, 2))
+    bg = jnp.array([0.2, 0.1, 0.4])
+
+    ref = rasterize_pixels(prep, means2d, bg, 32, 24, chunk=8)
+    out = render_gaussian_sharded(mesh, prep, means2d, bg, 32, 24,
+                                  backend="pallas")
+    np.testing.assert_allclose(np.asarray(out["image"]),
+                               np.asarray(ref["image"]), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["allmap"]),
+                               np.asarray(ref["allmap"]), atol=2e-3)
+
+
 def test_mp_train_step_matches_singlechip(rng):
     """Model-parallel (Gaussian-sharded) TRAINING: params, Adam moments and
     densify stats sharded over the 8-way mesh; one full step (render, loss,
@@ -330,6 +355,8 @@ def test_api_render_sharded_backends_match_dense(rng):
     ref = render(cam, state, bg, backend="dense")
     row = render(cam, state, bg, backend="row_sharded", mesh=mesh)
     gs = render(cam, state, bg, backend="gaussian_sharded", mesh=mesh)
+    gsp = render(cam, state, bg, backend="gaussian_sharded_pallas",
+                 mesh=mesh)
 
     for key, atol_row, atol_gs in (("render", 1e-5, 5e-4),
                                    ("rend_alpha", 1e-5, 5e-4),
@@ -341,6 +368,9 @@ def test_api_render_sharded_backends_match_dense(rng):
         np.testing.assert_allclose(np.asarray(gs[key]),
                                    np.asarray(ref[key]), atol=atol_gs,
                                    err_msg=f"gaussian_sharded {key}")
+        np.testing.assert_allclose(np.asarray(gsp[key]),
+                                   np.asarray(ref[key]), atol=atol_gs,
+                                   err_msg=f"gaussian_sharded_pallas {key}")
 
 
 def test_gaussian_sharded_dense_overlap(rng):

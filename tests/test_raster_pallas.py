@@ -203,3 +203,50 @@ def test_truncation_stress_post_opacity_reset(rng):
                             interpret=True)
     assert int(grown["n_dropped"]) == 0
     assert psnr_vs_oracle(grown) > 55.0, psnr_vs_oracle(grown)
+
+
+def test_init_state_segment_compositing_matches_full(rng):
+    """Seeded (T, M1, M2) segment compositing through the tiled kernel:
+    compositing the far half of the depth-sorted splats with the near
+    half's final state must reproduce the full-set tiled composite exactly
+    (same binning truncation on both sides) — the Gaussian-sharded
+    building block."""
+    cam, prep, _ = prep_scene(rng, n=40)
+    n = prep.depth.shape[0]
+    means2d = jnp.zeros((n, 2))
+    bg = jnp.zeros(3)
+
+    full = rasterize_tiled(prep, means2d, bg, cam.width, cam.height,
+                           interpret=True, return_raw=True)["raw"]
+
+    order = np.argsort(np.where(np.asarray(prep.valid),
+                                np.asarray(prep.depth), np.inf))
+    near = np.zeros(n, bool)
+    near[order[:n // 2]] = True
+
+    def subset(mask):
+        m = jnp.asarray(mask)
+        return prep._replace(valid=prep.valid & m,
+                             opacity=prep.opacity * m)
+
+    p1 = rasterize_tiled(subset(near), means2d, bg, cam.width, cam.height,
+                         interpret=True, return_raw=True)["raw"]
+    p2 = rasterize_tiled(subset(~near), means2d, bg, cam.width, cam.height,
+                         interpret=True, return_raw=True,
+                         init_state={k: p1[k] for k in ("T", "M1", "M2")}
+                         )["raw"]
+
+    merged = {
+        "color": p1["color"] + p2["color"],
+        "normal": p1["normal"] + p2["normal"],
+        "depth": p1["depth"] + p2["depth"],
+        "alpha": p1["alpha"] + p2["alpha"],
+        "dist": p1["dist"] + p2["dist"],
+        "T": p2["T"],
+        "median": np.where(np.asarray(p2["median"]) > 0,
+                           np.asarray(p2["median"]),
+                           np.asarray(p1["median"])),
+    }
+    for k, v in merged.items():
+        np.testing.assert_allclose(np.asarray(v), np.asarray(full[k]),
+                                   atol=1e-4, err_msg=k)
