@@ -771,9 +771,13 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def _raster_core(blob, padded_idx, starts, counts, order, tiles_x, tiles_y,
                  interpret, need_dist, need_med):
+    """Kernel + fb->maps layout restore under ONE custom VJP: the layout
+    map is a permutation, so its transpose is the inverse permutation
+    (_maps_to_fb, a gather) rather than the scatter-add XLA's autodiff
+    of _fb_to_maps would emit. Returns [CH, H_pad, W_pad] maps."""
     fb, ints, _ = _core_fwd_impl(blob, padded_idx, starts, counts, order,
                                  tiles_x, tiles_y, interpret)
-    return fb
+    return _fb_to_maps(fb, order, tiles_x, tiles_y)
 
 
 def _core_fwd_impl(blob, padded_idx, starts, counts, order, tiles_x,
@@ -819,16 +823,20 @@ def _core_fwd(blob, padded_idx, starts, counts, order, tiles_x, tiles_y,
               interpret, need_dist, need_med):
     fb, ints, pblob = _core_fwd_impl(blob, padded_idx, starts, counts, order,
                                      tiles_x, tiles_y, interpret)
-    return fb, (blob.shape[0], padded_idx, starts, counts, order, fb, ints,
-                pblob)
+    maps = _fb_to_maps(fb, order, tiles_x, tiles_y)
+    return maps, (blob.shape[0], padded_idx, starts, counts, order, fb, ints,
+                  pblob)
 
 
-def _core_bwd(tiles_x, tiles_y, interpret, need_dist, need_med, res, ct_fb):
+def _core_bwd(tiles_x, tiles_y, interpret, need_dist, need_med, res, ct_maps):
     Np1, padded_idx, starts, counts, order, fb, ints, pblob = res
     n_groups = (tiles_x * tiles_y) // STREAMS
     M_pad = padded_idx.shape[0]
 
-    ct = jnp.stack([ct_fb[:, i] for i in range(11)], axis=1)
+    # Moment channels (M1/M2) carry no cotangent by contract (inference-only
+    # outputs); convert the 11 differentiable channels through the inverse
+    # permutation and zero-pad to the kernel's CH-channel ct layout.
+    ct = _maps_to_fb(ct_maps[:11], order, tiles_x, tiles_y)
     ct = jnp.pad(ct, ((0, 0), (0, CH - 11), (0, 0), (0, 0)))
 
     kernel = _make_bwd_kernel(tiles_x, need_dist, need_med)
@@ -951,8 +959,8 @@ def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
                  work_mult=work_mult))
 
     if init_state is None:
-        fb = _raster_core(blob, padded_idx, starts, counts, order, tiles_x,
-                          tiles_y, interpret, need_dist_grad, need_med_grad)
+        maps = _raster_core(blob, padded_idx, starts, counts, order, tiles_x,
+                            tiles_y, interpret, need_dist_grad, need_med_grad)
     else:
         H_pad, W_pad = tiles_y * TILE, tiles_x * TILE
 
@@ -971,7 +979,8 @@ def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
             jax.lax.stop_gradient(blob), padded_idx, starts, counts, order,
             tiles_x, tiles_y, interpret,
             init=jax.lax.stop_gradient(init_fb))
-    maps = _fb_to_maps(fb, order, tiles_x, tiles_y)[:, :height, :width]
+        maps = _fb_to_maps(fb, order, tiles_x, tiles_y)
+    maps = maps[:, :height, :width]
 
     image = maps[0:3] + maps[10][None] * bg[:, None, None]
     allmap = jnp.stack([maps[3], maps[4], maps[5], maps[6], maps[7],
