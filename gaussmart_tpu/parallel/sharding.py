@@ -168,7 +168,9 @@ def make_mp_train_step(opt: OptimizationParams, mesh: Mesh, *,
                        sh_degree: int, white_background: bool,
                        depth_ratio: float = 0.0,
                        spatial_lr_scale: float = 1.0, axis: str = "data",
-                       dino_fn=None, adam_on_densify: str = "drop"):
+                       dino_fn=None, adam_on_densify: str = "drop",
+                       backend: str = "gaussian_sharded",
+                       raster_budget=None):
     """Gaussian-sharded (model-parallel) training step — the memory-scaling
     axis for scenes whose splat state outgrows one chip's HBM.
 
@@ -184,8 +186,13 @@ def make_mp_train_step(opt: OptimizationParams, mesh: Mesh, *,
 
     Arena capacity must be a multiple of the mesh size (every capacity the
     CLI produces is a multiple of 256).
+
+    backend: "gaussian_sharded" composites each stratum with the dense XLA
+    compositor; "gaussian_sharded_pallas" rides the production tiled
+    kernel's differentiable seeded core — the TPU training default.
     """
     assert adam_on_densify in ("apply", "drop"), adam_on_densify
+    assert backend in ("gaussian_sharded", "gaussian_sharded_pallas"), backend
     bg = jnp.asarray([1.0, 1.0, 1.0] if white_background else [0.0, 0.0, 0.0],
                      jnp.float32)
     from gaussmart_tpu.optim import AdamState
@@ -209,7 +216,7 @@ def make_mp_train_step(opt: OptimizationParams, mesh: Mesh, *,
                                      has_aux=True)
         (total, extras), (gparams, gmeans2d) = grad_fn(
             params, means2d, aux_state, cam, gt_image, iteration, opt, bg,
-            sh_degree, depth_ratio, "gaussian_sharded", dino_fn, None, mesh)
+            sh_degree, depth_ratio, backend, dino_fn, raster_budget, mesh)
 
         in_window = iteration < opt.densify_until_iter
         new_stats = add_densification_stats(aux_state, gmeans2d,
@@ -278,26 +285,35 @@ def render_gaussian_sharded(mesh: Mesh, prep, means2d, bg, width: int,
     is computed against GLOBAL state; a psum then combines the per-shard
     contributions.
 
-    backend="pallas" runs both passes through the production tiled kernel
-    (rasterize_tiled init_state — INFERENCE-ONLY, no gradients; train
-    model-parallel with the default dense backend, whose two-pass fold is
-    fully differentiable). `raster_kwargs` forwards duplicate budgets etc.
-    to rasterize_tiled."""
+    backend="pallas" runs both passes through the production tiled kernel:
+    rasterize_tiled's seeded core carries a custom VJP (gradients to splats,
+    seed, and the raw T/M1/M2 fold outputs), so this path is fully
+    differentiable — the model-parallel TRAINING path on TPU. Pass 1 uses
+    an identity seed so its moment outputs also ride the differentiable
+    seeded core. `raster_kwargs` forwards duplicate budgets and the
+    need_dist_grad/need_med_grad backward specializations to
+    rasterize_tiled."""
     from gaussmart_tpu.render.raster_dense import rasterize_pixels
 
     if backend == "pallas":
         from gaussmart_tpu.render.raster_pallas import rasterize_tiled
 
         def raster(prep_l, means2d_l, init=None):
-            return rasterize_tiled(
+            if init is None:
+                npix = width * height
+                init = {"T": jnp.ones(npix), "M1": jnp.zeros(npix),
+                        "M2": jnp.zeros(npix)}
+            out = rasterize_tiled(
                 prep_l, means2d_l, jnp.zeros(3), width, height,
                 init_state=init, return_raw=True,
-                **(raster_kwargs or {}))["raw"]
+                **(raster_kwargs or {}))
+            return out["raw"], out["n_dropped"]
     else:
         def raster(prep_l, means2d_l, init=None):
-            return rasterize_pixels(
+            out = rasterize_pixels(
                 prep_l, means2d_l, jnp.zeros(3), width, height,
-                chunk=chunk, return_raw=True, init_state=init)["raw"]
+                chunk=chunk, return_raw=True, init_state=init)
+            return out["raw"], jnp.zeros((), jnp.int32)
 
     n_dev = mesh.devices.size
     N = prep.depth.shape[0]
@@ -326,7 +342,7 @@ def render_gaussian_sharded(mesh: Mesh, prep, means2d, bg, width: int,
         rank = jax.lax.axis_index(axis)
 
         # pass 1: local composite (init T=1) -> stratum summary
-        p1 = raster(prep_l, means2d_l)
+        p1, _ = raster(prep_l, means2d_l)
         factors = jax.lax.all_gather(
             jnp.stack([p1["T"], p1["M1"], p1["M2"]]), axis)      # [D,3,P]
         ranks = jnp.arange(n_dev)
@@ -341,8 +357,8 @@ def render_gaussian_sharded(mesh: Mesh, prep, means2d, bg, width: int,
         M2_in = jnp.sum(jnp.where(before, T_in_all * factors[:, 2], 0.0), 0)
 
         # pass 2: exact re-composite against global incoming state
-        p2 = raster(prep_l, means2d_l,
-                    init={"T": T_in, "M1": M1_in, "M2": M2_in})
+        p2, nd = raster(prep_l, means2d_l,
+                        init={"T": T_in, "M1": M1_in, "M2": M2_in})
 
         local = {
             "color": p2["color"], "normal": p2["normal"],
@@ -365,15 +381,17 @@ def render_gaussian_sharded(mesh: Mesh, prep, means2d, bg, width: int,
             tot["normal"][0], tot["normal"][1], tot["normal"][2],
             med, tot["dist"]], axis=0)
         return (image.reshape(3, height, width),
-                allmap.reshape(7, height, width))
+                allmap.reshape(7, height, width),
+                jax.lax.psum(nd, axis))
 
     fn = jax.shard_map(
         per_device, mesh=mesh,
         in_specs=(P_spec_tree(prep_s, axis), P(axis), P()),
-        out_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
         check_vma=False)
-    image, allmap = fn(prep_s, means2d_s, bg)
-    return {"image": image, "allmap": allmap}
+    image, allmap, n_dropped = fn(prep_s, means2d_s, bg)
+    return {"image": image, "allmap": allmap,
+            "n_dropped": jax.lax.stop_gradient(n_dropped)}
 
 
 def P_spec_tree(tree, axis: str):

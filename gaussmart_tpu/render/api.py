@@ -107,14 +107,17 @@ def render_arrays(
         assert mesh is not None, "gaussian_sharded backend needs mesh="
         from gaussmart_tpu.parallel.sharding import render_gaussian_sharded
         # "gaussian_sharded" composites each stratum with the dense XLA
-        # compositor (fully differentiable — the MP training path);
-        # "_pallas" rides the production tiled kernel via its init_state
-        # seed (INFERENCE-ONLY: no gradients through the seeded pass).
+        # compositor; "_pallas" rides the production tiled kernel via its
+        # differentiable seeded (init_state) core — both are full training
+        # paths (gradients flow through the cross-shard fold either way).
         inner = "pallas" if backend.endswith("_pallas") else "dense"
         rkw = None
-        if inner == "pallas" and raster_budget is not None:
-            rkw = dict(max_dup=int(raster_budget[0]),
-                       work_mult=int(raster_budget[1]))
+        if inner == "pallas":
+            rkw = dict(need_dist_grad=need_dist_grad,
+                       need_med_grad=(depth_ratio != 0.0))
+            if raster_budget is not None:
+                rkw.update(max_dup=int(raster_budget[0]),
+                           work_mult=int(raster_budget[1]))
         out = render_gaussian_sharded(mesh, prep, means2d, bg_color,
                                       cam.width, cam.height, chunk=chunk,
                                       axis=shard_axis, backend=inner,

@@ -423,12 +423,37 @@ def _make_fwd_kernel(tiles_x: int, with_init: bool = False):
 # backward kernel
 # ---------------------------------------------------------------------------
 
-def _make_bwd_kernel(tiles_x: int, need_dist: bool, need_med: bool):
+def _make_bwd_kernel(tiles_x: int, need_dist: bool, need_med: bool,
+                     with_init: bool = False):
     """`need_dist`/`need_med` statically elide the distortion-channel and
     median-depth gradient paths (zero cotangents when the training recipe
-    sets lambda_dist=0 / depth_ratio=0 — the default, BASELINE.md)."""
+    sets lambda_dist=0 / depth_ratio=0 — the default, BASELINE.md).
+
+    `with_init=True` builds the SEEDED backward (Gaussian-sharded training):
+    the segment composited against an incoming per-pixel (T0, M1_0, M2_0)
+    seed. Three extensions, derived from writing the seeded distortion as
+    the in-segment pairwise sum plus the upstream cross term
+        dist = sum_{j>k in seg} w_j w_k (m_j-m_k)^2
+             + sum_i w_i (m_i^2 A_up + M2_0 - 2 m_i M1_0),  A_up = 1 - T0
+    (exact because the seeds ARE the upstream aggregates):
+      * the raw moment outputs M1/M2 now carry cotangents (they feed the
+        cross-shard fold), adding m*dM1 + m^2*dM2 to the per-entry weight
+        cotangent and (dM1 + 2 m dM2) * w * dm/dd to the depth cotangent;
+      * every A_n in the distortion terms becomes A_n + A_up;
+      * seed gradients, emitted per pixel after the reverse walk:
+          gT0   = (S_end + dT*T_final)/T0 - dDist*(M2_n - M2_0)
+          gM1_0 = dM1 - 2*dDist*(M1_n - M1_0)
+          gM2_0 = dM2 + dDist*A_n
+        (every output is linear in T0 through its w_i = T0 u_i factors, so
+        the w-routed part of dL/dT0 is S_end/T0; T0 >= T_EPS by the
+        forward's early-termination invariant, so the division is safe)."""
     def kernel(starts_ref, counts_ref, order_ref, blob_ref, fb_ref, ints_ref,
-               ct_ref, gzero_ref, grad_ref, chunk, gchunk, sems, gsems):
+               ct_ref, *rest):
+        if with_init:
+            (init_ref, gzero_ref, grad_ref, gi_ref,
+             chunk, gchunk, sems, gsems) = rest
+        else:
+            gzero_ref, grad_ref, chunk, gchunk, sems, gsems = rest
         del gzero_ref  # aliased to grad_ref: zero-fills rows never written
         g = pl.program_id(0)
         tids = [order_ref[STREAMS * g + s] for s in range(STREAMS)]
@@ -457,6 +482,15 @@ def _make_bwd_kernel(tiles_x: int, need_dist: bool, need_med: bool):
         dMed = ct_ref[0, 8]
         dDist = ct_ref[0, 9]
         dT_n = ct_ref[0, 10]
+        if with_init:
+            T0 = init_ref[0, 0]
+            M1_0 = init_ref[0, 1]
+            M2_0 = init_ref[0, 2]
+            dM1 = ct_ref[0, 11]
+            dM2 = ct_ref[0, 12]
+            A_eff = A_n + (1.0 - T0)     # in-segment alpha + upstream alpha
+        else:
+            A_eff = A_n
 
         def start_dmas(slot, c):
             for s in range(STREAMS):
@@ -543,9 +577,12 @@ def _make_bwd_kernel(tiles_x: int, need_dist: bool, need_med: bool):
                         + depth * dD + dA
                         + normal[0] * dN[0] + normal[1] * dN[1]
                         + normal[2] * dN[2])
-                if need_dist:
+                if need_dist or with_init:
                     m = jnp.where(contrib, mapped_depth(dsafe), 0.0)
-                    dLdw = dLdw + (m * m * A_n + M2_n - 2.0 * m * M1_n) * dDist
+                if need_dist:
+                    dLdw = dLdw + (m * m * A_eff + M2_n - 2.0 * m * M1_n) * dDist
+                if with_init:
+                    dLdw = dLdw + m * dM1 + m * m * dM2
 
                 active = jnp.sum(grad_any.astype(jnp.float32)) > 0
 
@@ -557,9 +594,12 @@ def _make_bwd_kernel(tiles_x: int, need_dist: bool, need_med: bool):
                         T_before * dLdw - (S + T_final * dT_n) / one_m_a,
                         0.0)
                     dLdd = w * dD
-                    if need_dist:
+                    if need_dist or with_init:
                         dm_dd = FARNEAR / jnp.square(dsafe)
-                        dLdd = dLdd + dDist * 2.0 * w * (m * A_n - M1_n) * dm_dd
+                    if need_dist:
+                        dLdd = dLdd + dDist * 2.0 * w * (m * A_eff - M1_n) * dm_dd
+                    if with_init:
+                        dLdd = dLdd + (dM1 + 2.0 * m * dM2) * w * dm_dd
                     if need_med:
                         dLdd = dLdd + jnp.where(is_med, dMed, 0.0)
                     dLdd = jnp.where(grad_any, dLdd, 0.0)
@@ -601,9 +641,22 @@ def _make_bwd_kernel(tiles_x: int, need_dist: bool, need_med: bool):
             c, _, _ = carry
             return c >= 0
 
-        jax.lax.while_loop(
+        _, _, S_end = jax.lax.while_loop(
             cond, lambda carry: body((carry[0], carry[1], carry[2])),
             (start_c - 1, T_final, jnp.zeros((8, 128), jnp.float32)))
+
+        if with_init:
+            T0_safe = jnp.maximum(T0, 1e-12)
+            gT0 = (S_end + T_final * dT_n) / T0_safe
+            gM1 = dM1
+            gM2 = dM2
+            if need_dist:
+                gT0 = gT0 - dDist * (M2_n - M2_0)
+                gM1 = gM1 - 2.0 * dDist * (M1_n - M1_0)
+                gM2 = gM2 + dDist * A_n
+            gi_ref[0, 0] = gT0
+            gi_ref[0, 1] = gM1
+            gi_ref[0, 2] = gM2
 
         # drain the last two chunks' in-flight gradient writes
         for cc in range(2):
@@ -902,25 +955,106 @@ def _core_bwd(tiles_x, tiles_y, interpret, need_dist, need_med, res, ct_maps):
 _raster_core.defvjp(_core_fwd, _core_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def _raster_core_seeded(blob, init_fb, padded_idx, starts, counts, order,
+                        tiles_x, tiles_y, interpret, need_dist, need_med):
+    """Seeded (init-state) raster core — the differentiable production path
+    for Gaussian-sharded TRAINING: gradients flow to both the splat blob and
+    the per-pixel (T0, M1_0, M2_0) seed, and the raw T/M1/M2 map outputs
+    carry cotangents (they feed the cross-shard over-operator fold)."""
+    fb, ints, _ = _core_fwd_impl(blob, padded_idx, starts, counts, order,
+                                 tiles_x, tiles_y, interpret, init=init_fb)
+    return _fb_to_maps(fb, order, tiles_x, tiles_y)
+
+
+def _seeded_fwd(blob, init_fb, padded_idx, starts, counts, order, tiles_x,
+                tiles_y, interpret, need_dist, need_med):
+    fb, ints, pblob = _core_fwd_impl(blob, padded_idx, starts, counts, order,
+                                     tiles_x, tiles_y, interpret, init=init_fb)
+    maps = _fb_to_maps(fb, order, tiles_x, tiles_y)
+    return maps, (blob.shape[0], padded_idx, starts, counts, order, fb, ints,
+                  pblob, init_fb)
+
+
+def _seeded_bwd(tiles_x, tiles_y, interpret, need_dist, need_med, res,
+                ct_maps):
+    (Np1, padded_idx, starts, counts, order, fb, ints, pblob,
+     init_fb) = res
+    n_groups = (tiles_x * tiles_y) // STREAMS
+    M_pad = padded_idx.shape[0]
+
+    # all CH channels carry cotangents here (incl. T/M1/M2 raw outputs)
+    ct = _maps_to_fb(ct_maps, order, tiles_x, tiles_y)
+
+    kernel = _make_bwd_kernel(tiles_x, need_dist, need_med, with_init=True)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, CH, 8, 128), lambda t, *_: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, 8, 128), lambda t, *_: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CH, 8, 128), lambda t, *_: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, 8, 128), lambda t, *_: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, 3, 8, 128), lambda t, *_: (t, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, K, STREAMS, F_PAD), jnp.float32),
+            pltpu.VMEM((2, K, STREAMS, F_PAD), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, STREAMS)),
+            pltpu.SemaphoreType.DMA((2, STREAMS)),
+        ],
+    )
+    gzero = jnp.zeros((M_pad, F_PAD), jnp.float32)
+    grad_padded, gi = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((M_pad, F_PAD), jnp.float32),
+            jax.ShapeDtypeStruct((n_groups, 3, 8, 128), jnp.float32),
+        ),
+        input_output_aliases={8: 0},
+        interpret=interpret,
+    )(starts, counts, order, pblob, fb, ints, ct, init_fb, gzero)
+
+    grad_blob = jnp.zeros((Np1, F), jnp.float32).at[padded_idx].add(
+        grad_padded[:, :F], mode="drop")
+    grad_blob = grad_blob.at[Np1 - 1].set(0.0)
+    return grad_blob, gi, None, None, None, None
+
+
+_raster_core_seeded.defvjp(_seeded_fwd, _seeded_bwd)
+
+
 # ---------------------------------------------------------------------------
 # public entry
 # ---------------------------------------------------------------------------
 
 def _fb_to_maps(fb, order, tiles_x, tiles_y):
-    """[n_groups, CH, 8, 128] -> [CH, H_pad, W_pad]: tile t lives in program
+    """[n_groups, C, 8, 128] -> [C, H_pad, W_pad]: tile t lives in program
     rank(t)//4, sublane band rank(t)%4; band pixels p=(a*128+lane) map to
     (y_local = a*8 + lane//16, x_local = lane%16)."""
     n_tiles = tiles_x * tiles_y
+    C = fb.shape[1]
     rank = jnp.argsort(order)                         # tile -> rank
     prog = rank // STREAMS
     band = rank % STREAMS
     # sublane = a*4 + band (stream band owns sublanes {band, band+4})
-    fbb = fb.reshape(-1, CH, 2, STREAMS, 8, TILE)     # prog,ch,a,band,b1,px
-    # non-adjacent advanced indices put the tile axis first: [n,CH,2,8,px]
+    fbb = fb.reshape(-1, C, 2, STREAMS, 8, TILE)      # prog,ch,a,band,b1,px
+    # non-adjacent advanced indices put the tile axis first: [n,C,2,8,px]
     tile_blocks = fbb[prog, :, :, band]
-    tb = tile_blocks.reshape(tiles_y, tiles_x, CH, 2, 8, TILE)
+    tb = tile_blocks.reshape(tiles_y, tiles_x, C, 2, 8, TILE)
     tb = jnp.transpose(tb, (2, 0, 3, 4, 1, 5))        # ch,ty,a,b1,tx,px
-    return tb.reshape(CH, tiles_y * TILE, tiles_x * TILE)
+    return tb.reshape(C, tiles_y * TILE, tiles_x * TILE)
 
 
 def _maps_to_fb(maps, order, tiles_x, tiles_y):
@@ -961,8 +1095,9 @@ def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
     rasterize_pixels) seeds the per-pixel compositing state so a depth-
     contiguous SEGMENT of a larger splat set composites exactly against
     global incoming transmittance/moments — the production-kernel path for
-    Gaussian-sharded rendering. INFERENCE-ONLY: gradients do not flow
-    through this path (train model-parallel with the dense backend).
+    Gaussian-sharded rendering AND training: the seeded core carries a
+    custom VJP with gradients to both the splats and the seed, and its raw
+    T/M1/M2 outputs are differentiable (they feed the cross-shard fold).
     `return_raw=True` adds the flat per-pixel final state (premultiplied
     color/normal, T, moments) matching rasterize_pixels' raw dict."""
     if interpret is None:
@@ -996,11 +1131,9 @@ def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
             pad_map(init_state.get("M2", jnp.zeros(height * width)), 0.0),
         ], axis=0)
         init_fb = _maps_to_fb(init_maps, order, tiles_x, tiles_y)
-        fb, _, _ = _core_fwd_impl(
-            jax.lax.stop_gradient(blob), padded_idx, starts, counts, order,
-            tiles_x, tiles_y, interpret,
-            init=jax.lax.stop_gradient(init_fb))
-        maps = _fb_to_maps(fb, order, tiles_x, tiles_y)
+        maps = _raster_core_seeded(blob, init_fb, padded_idx, starts, counts,
+                                   order, tiles_x, tiles_y, interpret,
+                                   need_dist_grad, need_med_grad)
     maps = maps[:, :height, :width]
 
     image = maps[0:3] + maps[10][None] * bg[:, None, None]

@@ -103,6 +103,62 @@ def test_gradients_match_dense(rng):
                                    err_msg=f"grad mismatch: {nm}")
 
 
+def test_seeded_gradients_match_dense(rng):
+    """Custom VJP of the SEEDED (init_state) core vs autodiff of the dense
+    seeded compositor: gradients wrt splat inputs AND the (T0, M1_0, M2_0)
+    seed must match, with cotangents on the raw T/M1/M2 outputs — exactly
+    the wiring Gaussian-sharded training puts through the kernel."""
+    cam = make_camera(width=32, height=32)
+    n = 12
+    xyz, scales, quats, opac, shs, _ = make_scene(n, rng, scale=0.25)
+    npix = 32 * 32
+    r2 = np.random.default_rng(7)
+    T0 = jnp.asarray(r2.uniform(0.3, 1.0, npix).astype(np.float32))
+    M1_0 = jnp.asarray(r2.uniform(0.0, 0.3, npix).astype(np.float32))
+    M2_0 = jnp.asarray(r2.uniform(0.0, 0.2, npix).astype(np.float32))
+    target = jnp.asarray(rng.random((3, 32, 32)).astype(np.float32))
+    bg = jnp.zeros(3)
+
+    def loss(backend, xyz, scales, opac, means2d, T0, M1_0, M2_0):
+        prep = raster_common.preprocess(
+            xyz, scales, quats, opac, shs, jnp.ones(n, bool), cam.params(),
+            sh_degree=0)
+        init = {"T": T0, "M1": M1_0, "M2": M2_0}
+        if backend == "pallas":
+            out = rasterize_tiled(prep, means2d, bg, 32, 32, interpret=True,
+                                  init_state=init, return_raw=True)
+        else:
+            out = rasterize_pixels(prep, means2d, bg, 32, 32, chunk=8,
+                                   init_state=init, return_raw=True)
+        img, am, raw = out["image"], out["allmap"], out["raw"]
+        # touch every channel incl. the raw fold outputs
+        return (jnp.sum((img - target) ** 2)
+                + 0.05 * jnp.sum(am[6])          # distortion
+                + 0.01 * jnp.sum(am[0])          # expected depth
+                + 0.01 * jnp.sum(am[2:5] ** 2)   # normals
+                + 0.02 * jnp.sum(am[5])          # median depth
+                + 0.01 * jnp.sum(am[1])          # alpha
+                + 0.03 * jnp.sum(raw["T"] ** 2)
+                + 0.02 * jnp.sum(raw["M1"] ** 2)
+                + 0.01 * jnp.sum(raw["M2"]))
+
+    means2d = jnp.zeros((n, 2))
+    args = (xyz, scales, opac, means2d, T0, M1_0, M2_0)
+    l_ref = float(loss("dense", *args))
+    l_pal = float(loss("pallas", *args))
+    assert abs(l_ref - l_pal) < 1e-3 * max(1.0, abs(l_ref))
+
+    argnums = tuple(range(len(args)))
+    g_ref = jax.grad(lambda *a: loss("dense", *a), argnums=argnums)(*args)
+    g_pal = jax.grad(lambda *a: loss("pallas", *a), argnums=argnums)(*args)
+    names = ["xyz", "scales", "opac", "means2d", "T0", "M1_0", "M2_0"]
+    for nm, gr, gp in zip(names, g_ref, g_pal):
+        gr, gp = np.asarray(gr), np.asarray(gp)
+        scale = np.abs(gr).max() + 1e-6
+        np.testing.assert_allclose(gp, gr, atol=3e-3 * scale, rtol=2e-2,
+                                   err_msg=f"seeded grad mismatch: {nm}")
+
+
 def test_giant_splat_budget_truncation_is_centered(rng):
     """A splat exceeding the duplicate budget keeps a centered footprint."""
     cam = make_camera(width=128, height=128, fov=1.0)
