@@ -300,6 +300,24 @@ def training(dataset: ModelParams, opt: OptimizationParams,
     return state.replace(params=params, aux=aux), adam
 
 
+_GUI_RENDER_CACHE = {}
+
+
+def _gui_render_fn(depth_ratio: float, backend: str):
+    """Jitted viewer render, cached per pipeline config. Eager dispatch of
+    render_arrays costs ~1.4 s/frame over the remote TPU tunnel (measured);
+    one compiled program per (resolution, capacity) serves frames at
+    device-render speed. jit's own cache handles shape changes."""
+    key = (depth_ratio, backend)
+    fn = _GUI_RENDER_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda c, s, b, m: render(
+            c, s, b, scaling_modifier=m, depth_ratio=depth_ratio,
+            backend=backend))
+        _GUI_RENDER_CACHE[key] = fn
+    return fn
+
+
 def _serve_gui(gui, state, pipe, dataset, ema, iteration, max_iters):
     """One GUI poll/serve round (reference train.py:223-242 semantics)."""
     import jax.numpy as jnp
@@ -314,9 +332,8 @@ def _serve_gui(gui, state, pipe, dataset, ema, iteration, max_iters):
             net_image_bytes = None
             cam, do_training, keep_alive, smod, mode = gui.receive()
             if cam is not None:
-                pkg = render(cam.params(), state, bg, scaling_modifier=smod,
-                             depth_ratio=pipe.depth_ratio,
-                             backend=pipe.backend)
+                pkg = _gui_render_fn(pipe.depth_ratio, pipe.backend)(
+                    cam.params(), state, bg, jnp.float32(smod))
                 net_image = render_net_image(pkg, dataset.render_items, mode,
                                              cam)
                 net_image_bytes = image_to_bytes(net_image)
