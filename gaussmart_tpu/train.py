@@ -148,17 +148,27 @@ def training(dataset: ModelParams, opt: OptimizationParams,
                     raster_budget=tuple(raster_budget))
         return step_cache[key]
 
+    def max_dup_cap(n_active: int) -> int:
+        """128, tapered so the binning sort input (capacity x max_dup keys)
+        stays bounded on multi-million-splat scenes: N*max_dup <= 48M keys
+        (the sort and duplicate-expansion fusions scale with the dense
+        key table, not with actual duplicates — a 1M-splat scene at
+        max_dup=128 would sort 128M keys)."""
+        return max(16, min(128, (48_000_000 // max(n_active, 1)) // 16 * 16))
+
     def maybe_grow_budget(n_dropped: int, n_active: int):
         """Double (max_dup, work_mult) after 3 consecutive logged steps
-        dropping >1% of active splats' duplicates; capped at (128, 24)."""
-        if raster_budget[0] >= 128:
+        dropping >1% of active splats' duplicates; capped at
+        (max_dup_cap(N), 24)."""
+        cap = max_dup_cap(n_active)
+        if raster_budget[0] >= cap:
             return
         if n_dropped > max(512, n_active // 100):
             drop_strikes[0] += 1
         else:
             drop_strikes[0] = 0
         if drop_strikes[0] >= 3:
-            raster_budget[0] = min(raster_budget[0] * 2, 128)
+            raster_budget[0] = min(raster_budget[0] * 2, cap)
             raster_budget[1] = min(raster_budget[1] * 2, 24)
             drop_strikes[0] = 0
             print(f"[raster] duplicate budget grown to max_dup="
