@@ -93,11 +93,15 @@ def make_dp_train_step(opt: OptimizationParams, mesh: Mesh, *,
                        sh_degree: int, white_background: bool,
                        depth_ratio: float = 0.0, backend: str = "dense",
                        spatial_lr_scale: float = 1.0, axis: str = "data",
-                       dino_fn=None, donate: bool = False):
+                       dino_fn=None, donate: bool = False,
+                       adam_on_densify: str = "drop",
+                       raster_budget=None):
     """Camera-DP training step over `mesh`. Batch size B must equal the mesh
     size (one camera per device per step); stats/grads ride ICI psum.
     backend="pallas" runs the production kernel inside shard_map (interpret
-    mode off-TPU); "auto" picks per platform like the single-chip step."""
+    mode off-TPU); "auto" picks per platform like the single-chip step.
+    adam_on_densify and raster_budget match make_train_step's semantics."""
+    assert adam_on_densify in ("apply", "drop"), adam_on_densify
     bg = jnp.asarray([1.0, 1.0, 1.0] if white_background else [0.0, 0.0, 0.0],
                      jnp.float32)
     n_dev = mesh.devices.size
@@ -111,7 +115,7 @@ def make_dp_train_step(opt: OptimizationParams, mesh: Mesh, *,
         grad_fn = jax.value_and_grad(_loss_and_aux, argnums=(0, 1), has_aux=True)
         (total, extras), (gparams, gmeans2d) = grad_fn(
             params, means2d, aux_state, cam, gt, iteration, opt, bg,
-            sh_degree, depth_ratio, backend, dino_fn)
+            sh_degree, depth_ratio, backend, dino_fn, raster_budget)
 
         # gradient all-reduce over ICI (mean, matching grad accumulation)
         gparams = jax.tree.map(lambda g: jax.lax.psum(g, axis) / n_dev, gparams)
@@ -133,7 +137,17 @@ def make_dp_train_step(opt: OptimizationParams, mesh: Mesh, *,
                 aux_state.max_radii2d))
 
         lrs = group_lrs(opt, iteration, spatial_lr_scale)
-        params, adam = adam_step(params, gparams, adam, lrs, aux_state.active)
+        new_params, new_adam = adam_step(params, gparams, adam, lrs,
+                                         aux_state.active)
+        if adam_on_densify == "drop":
+            is_densify = (in_window
+                          & (iteration > opt.densify_from_iter)
+                          & (iteration % opt.densification_interval == 0))
+            keep = lambda new, old: jnp.where(is_densify, old, new)
+            params = jax.tree.map(keep, new_params, params)
+            adam = jax.tree.map(keep, new_adam, adam)
+        else:
+            params, adam = new_params, new_adam
 
         metrics = StepMetrics(
             total=jax.lax.pmean(total, axis),

@@ -823,13 +823,16 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
     keys_k = jax.lax.slice(keys_s, (0,), (M_keep,))
     idx_k = jnp.where(keys_k >= BIG, N, jax.lax.slice(sidx_s, (0,), (M_keep,)))
     padded_idx = jnp.concatenate([idx_k, jnp.full((K,), N, jnp.int32)])
-    n_dropped = n_dropped + jnp.maximum(n_valid + n_tiles * K - M_keep, 0)
 
     starts = jnp.searchsorted(keys_k, tids * (1 << db),
                               side="left").astype(jnp.int32)
     ends = jnp.searchsorted(keys_k, tids * (1 << db) + ((1 << db) - 1),
                             side="left").astype(jnp.int32)
     counts = ends - starts
+    # Real entries past the keep (counted via per-tile kept counts, so the
+    # truncated tail's FILLER rows don't inflate the drop signal that
+    # drives the trainer's adaptive budget growth).
+    n_dropped = n_dropped + (n_valid - counts.sum())
     # Load-balanced stream packing: programs own 4 tiles of SIMILAR entry
     # count (sorted consecutive grouping), so the per-program step count
     # (max over its streams) stays close to the mean instead of the max of
@@ -1099,7 +1102,13 @@ def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
     custom VJP with gradients to both the splats and the seed, and its raw
     T/M1/M2 outputs are differentiable (they feed the cross-shard fold).
     `return_raw=True` adds the flat per-pixel final state (premultiplied
-    color/normal, T, moments) matching rasterize_pixels' raw dict."""
+    color/normal, T, moments) matching rasterize_pixels' raw dict.
+    GRADIENT CONTRACT for the raw moments: with init_state (the seeded
+    core) raw M1/M2 carry full cotangents; WITHOUT init_state the fast
+    un-seeded backward statically zeroes them (raw color/normal/depth/
+    alpha/dist/T remain differentiable) — pass an identity seed
+    ({"T": ones, "M1": zeros, "M2": zeros}) to differentiate through the
+    raw moments, as render_gaussian_sharded's pass 1 does."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     gx_count = -(-width // GROUP)

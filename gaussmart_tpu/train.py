@@ -137,7 +137,8 @@ def training(dataset: ModelParams, opt: OptimizationParams,
                     white_background=dataset.white_background,
                     depth_ratio=pipe.depth_ratio, backend=pipe.backend,
                     dino_fn=dino_fn, spatial_lr_scale=st.spatial_lr_scale,
-                    donate=True)
+                    donate=True, adam_on_densify=adam_on_densify,
+                    raster_budget=tuple(raster_budget))
             else:
                 step_cache[key] = make_train_step(
                     opt, sh_degree=st.max_sh_degree,
@@ -148,19 +149,20 @@ def training(dataset: ModelParams, opt: OptimizationParams,
                     raster_budget=tuple(raster_budget))
         return step_cache[key]
 
-    def max_dup_cap(n_active: int) -> int:
-        """128, tapered so the binning sort input (capacity x max_dup keys)
-        stays bounded on multi-million-splat scenes: N*max_dup <= 48M keys
-        (the sort and duplicate-expansion fusions scale with the dense
-        key table, not with actual duplicates — a 1M-splat scene at
-        max_dup=128 would sort 128M keys)."""
-        return max(16, min(128, (48_000_000 // max(n_active, 1)) // 16 * 16))
+    def max_dup_cap(capacity: int) -> int:
+        """128, tapered so the binning sort input stays bounded on
+        multi-million-splat scenes: capacity*max_dup <= 48M keys. The sort
+        and duplicate-expansion fusions scale with the dense key table over
+        the ARENA CAPACITY (prep arrays are capacity-sized), not with the
+        active count or actual duplicates — a 1M-splat scene at max_dup=128
+        would sort 128M keys."""
+        return max(16, min(128, (48_000_000 // max(capacity, 1)) // 16 * 16))
 
-    def maybe_grow_budget(n_dropped: int, n_active: int):
+    def maybe_grow_budget(n_dropped: int, n_active: int, capacity: int):
         """Double (max_dup, work_mult) after 3 consecutive logged steps
         dropping >1% of active splats' duplicates; capped at
-        (max_dup_cap(N), 24)."""
-        cap = max_dup_cap(n_active)
+        (max_dup_cap(capacity), 24)."""
+        cap = max_dup_cap(capacity)
         if raster_budget[0] >= cap:
             return
         if n_dropped > max(512, n_active // 100):
@@ -240,7 +242,8 @@ def training(dataset: ModelParams, opt: OptimizationParams,
             stat_rows.append({
                 "iteration": iteration, "n_points": int(m.n_active),
                 "n_dropped": int(m.n_dropped)})
-            maybe_grow_budget(int(m.n_dropped), int(m.n_active))
+            maybe_grow_budget(int(m.n_dropped), int(m.n_active),
+                              state.capacity)
             if tb is not None:
                 tb.scalar("train_loss_patches/total_loss", float(m.total), iteration)
                 tb.scalar("train_loss_patches/reg_loss", float(m.l1), iteration)
@@ -258,7 +261,8 @@ def training(dataset: ModelParams, opt: OptimizationParams,
 
         if iteration in testing_iterations:
             state = state.replace(params=params, aux=aux)
-            report_eval(scene, state, pipe, dataset, iteration, tb=tb)
+            report_eval(scene, state, pipe, dataset, iteration, tb=tb,
+                        mesh=mesh if parallel_mode == "mp" else None)
             params, aux = state.params, state.aux
 
         if iteration in saving_iterations:
@@ -294,7 +298,8 @@ def training(dataset: ModelParams, opt: OptimizationParams,
         # live viewer polling (train.py:223-242)
         if gui is not None:
             _serve_gui(gui, state.replace(params=params, aux=aux), pipe,
-                       dataset, ema, iteration, opt.iterations)
+                       dataset, ema, iteration, opt.iterations,
+                       mesh=mesh if parallel_mode == "mp" else None)
 
         if iteration in checkpoint_iterations:
             print(f"\n[ITER {iteration}] Saving Checkpoint")
@@ -313,22 +318,26 @@ def training(dataset: ModelParams, opt: OptimizationParams,
 _GUI_RENDER_CACHE = {}
 
 
-def _gui_render_fn(depth_ratio: float, backend: str):
+def _gui_render_fn(depth_ratio: float, backend: str, mesh=None):
     """Jitted viewer render, cached per pipeline config. Eager dispatch of
     render_arrays costs ~1.4 s/frame over the remote TPU tunnel (measured);
     one compiled program per (resolution, capacity) serves frames at
-    device-render speed. jit's own cache handles shape changes."""
-    key = (depth_ratio, backend)
+    device-render speed. jit's own cache handles shape changes. `mesh` set
+    = mp mode (arena-sharded state -> gaussian-sharded composite)."""
+    key = (depth_ratio, backend, mesh)
     fn = _GUI_RENDER_CACHE.get(key)
     if fn is None:
+        if mesh is not None:
+            backend = _sharded_render_backend(backend)
         fn = jax.jit(lambda c, s, b, m: render(
             c, s, b, scaling_modifier=m, depth_ratio=depth_ratio,
-            backend=backend))
+            backend=backend, mesh=mesh))
         _GUI_RENDER_CACHE[key] = fn
     return fn
 
 
-def _serve_gui(gui, state, pipe, dataset, ema, iteration, max_iters):
+def _serve_gui(gui, state, pipe, dataset, ema, iteration, max_iters,
+               mesh=None):
     """One GUI poll/serve round (reference train.py:223-242 semantics)."""
     import jax.numpy as jnp
     from gaussmart_tpu.viewer.protocol import image_to_bytes, render_net_image
@@ -342,7 +351,7 @@ def _serve_gui(gui, state, pipe, dataset, ema, iteration, max_iters):
             net_image_bytes = None
             cam, do_training, keep_alive, smod, mode = gui.receive()
             if cam is not None:
-                pkg = _gui_render_fn(pipe.depth_ratio, pipe.backend)(
+                pkg = _gui_render_fn(pipe.depth_ratio, pipe.backend, mesh)(
                     cam.params(), state, bg, jnp.float32(smod))
                 net_image = render_net_image(pkg, dataset.render_items, mode,
                                              cam)
@@ -412,16 +421,31 @@ def _build_dino_fn(lambda_dino: float, start_iter: int, mode: str):
     return fn
 
 
+def _sharded_render_backend(backend: str) -> str:
+    """Render backend for ARENA-SHARDED state (mp mode): the single-device
+    paths (plain Pallas/dense) cannot partition over a sharded splat arena
+    — pallas_call has no GSPMD rule — so route through the gaussian-sharded
+    composite, production kernel on TPU (mirrors the mp train-step
+    selection)."""
+    use_pal = (backend == "pallas"
+               or (backend == "auto" and jax.default_backend() == "tpu"))
+    return "gaussian_sharded_pallas" if use_pal else "gaussian_sharded"
+
+
 @functools.lru_cache(maxsize=None)
-def _make_eval_view(depth_ratio: float, backend: str, white_bg: bool):
+def _make_eval_view(depth_ratio: float, backend: str, white_bg: bool,
+                    mesh=None):
     """Jitted per-view eval, cached at module scope so repeated report_eval
     calls reuse ONE compiled program per (config, state-capacity) — the
     closure-over-state version recompiled on every test iteration (minutes
-    on remote TPU backends)."""
+    on remote TPU backends). `mesh` set = mp mode: state stays
+    arena-sharded through eval (memory-scaling contract)."""
     from gaussmart_tpu.ops.image import psnr as psnr_fn, l1_loss
     from gaussmart_tpu.ops.ssim import ssim as ssim_fn
 
     bg = jnp.asarray([1.0, 1.0, 1.0] if white_bg else [0.0, 0.0, 0.0])
+    if mesh is not None:
+        backend = _sharded_render_backend(backend)
 
     # jit the whole per-view eval: eager dispatch per op is prohibitively
     # slow through remote-TPU backends
@@ -430,7 +454,7 @@ def _make_eval_view(depth_ratio: float, backend: str, white_bg: bool):
         # generous duplicate budget: eval must measure the model, not the
         # training-time truncation (the CUDA reference never truncates)
         pkg = render(cam_params, state, bg, depth_ratio=depth_ratio,
-                     backend=backend, raster_budget=(64, 12))
+                     backend=backend, raster_budget=(64, 12), mesh=mesh)
         img = jnp.clip(pkg["render"], 0, 1)
         gt = jnp.clip(gt_image, 0, 1)
         return (img, l1_loss(img, gt), psnr_fn(img[None], gt[None])[0, 0],
@@ -440,9 +464,11 @@ def _make_eval_view(depth_ratio: float, backend: str, white_bg: bool):
     return _eval_view
 
 
-def report_eval(scene: Scene, state, pipe, dataset, iteration, tb=None):
+def report_eval(scene: Scene, state, pipe, dataset, iteration, tb=None,
+                mesh=None):
     """In-loop test/train eval (train.py:268-344); LPIPS(alex) included when
-    local weights exist (train.py:70)."""
+    local weights exist (train.py:70). Pass `mesh` when state is
+    arena-sharded (mp mode)."""
     from gaussmart_tpu.eval import lpips_jax
 
     lpips = lpips_jax.load_lpips("alex")
@@ -454,7 +480,7 @@ def report_eval(scene: Scene, state, pipe, dataset, iteration, tb=None):
                                   for i in range(5, 30, 5)]))
 
     _eval_view = _make_eval_view(pipe.depth_ratio, pipe.backend,
-                                 dataset.white_background)
+                                 dataset.white_background, mesh)
 
     results = {}
     for name, cams in configs:

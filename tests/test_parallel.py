@@ -300,6 +300,42 @@ def test_mp_train_step_matches_singlechip(rng):
     assert not mx.grad_accum.sharding.is_fully_replicated
 
 
+def test_dp_step_adam_on_densify_drop(rng):
+    """DP step honors adam_on_densify='drop' (reference parity, same as the
+    single-chip and MP steps): on a densify iteration the Adam update is
+    discarded — params and moments come back unchanged."""
+    from gaussmart_tpu.parallel.sharding import (BatchedCameras,
+                                                 make_dp_train_step,
+                                                 replicate, shard_batch)
+
+    mesh = make_mesh()
+    n_dev = mesh.devices.size
+    state, cams = make_scene(rng, n=32, width=32, height=24)
+    opt = OptimizationParams(densify_from_iter=0, densify_until_iter=100,
+                             densification_interval=2)
+    adam = init_adam(state.params)
+    batched = BatchedCameras.stack([cams[i % len(cams)].params()
+                                    for i in range(n_dev)])
+    gts = jnp.asarray(rng.random((n_dev, 3, 24, 32)), jnp.float32)
+    params, adam0, aux = replicate((state.params, adam, state.aux), mesh)
+    batched, gts = shard_batch((batched, gts), mesh)
+
+    step = make_dp_train_step(opt, mesh, sh_degree=0, white_background=False,
+                              adam_on_densify="drop")
+    # iteration 4: in window, past from_iter, divisible by the interval
+    it = jnp.asarray(4, jnp.int32)
+    p, a, x, m, _ = step(params, adam0, aux, batched, gts, it)
+    np.testing.assert_array_equal(np.asarray(p.xyz), np.asarray(params.xyz))
+    np.testing.assert_array_equal(np.asarray(a.mu.xyz),
+                                  np.asarray(adam0.mu.xyz))
+    # densify stats still accumulate on the dropped iteration
+    assert float(jnp.abs(x.grad_accum).sum()) > 0
+
+    # iteration 5: not a densify iteration -> update applies
+    p2, *_ = step(params, adam0, aux, batched, gts, it + 1)
+    assert float(jnp.abs(p2.xyz - params.xyz).max()) > 0
+
+
 def test_mp_train_step_pallas_backend_matches_dense(rng):
     """Gaussian-sharded training through the PRODUCTION Pallas kernel
     (differentiable seeded core, interpret mode on the virtual mesh): one
