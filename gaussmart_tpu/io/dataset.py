@@ -260,8 +260,21 @@ def load_camera(info: CameraInfo, resolution: int = -1,
     with Image.open(info.image_path) as pil:
         w, h = compute_resolution(pil.size[0], pil.size[1], resolution,
                                   resolution_scale)
-        pil = pil.resize((w, h))
-        arr = np.asarray(pil).astype(np.float32) / 255.0
+        if info.white_background is not None and pil.mode == "RGBA":
+            # Blender/NeRF-synthetic: composite onto the background at FULL
+            # resolution BEFORE resizing (dataset_readers.py:285-291
+            # composites, loadCam resizes the composited RGB) — resizing
+            # straight alpha first bleeds the RGB of fully transparent
+            # pixels into object edges.
+            full = np.asarray(pil).astype(np.float32) / 255.0
+            bg = 1.0 if info.white_background else 0.0
+            rgb = full[..., :3] * full[..., 3:4] + bg * (1 - full[..., 3:4])
+            comp = Image.fromarray(
+                (np.clip(rgb, 0, 1) * 255.0).astype(np.uint8), "RGB")
+            arr = np.asarray(comp.resize((w, h))).astype(np.float32) / 255.0
+        else:
+            pil = pil.resize((w, h))
+            arr = np.asarray(pil).astype(np.float32) / 255.0
 
     alpha_mask = None
     if arr.ndim == 3 and arr.shape[2] == 4:
@@ -269,6 +282,10 @@ def load_camera(info: CameraInfo, resolution: int = -1,
             bg = 1.0 if info.white_background else 0.0
             rgb = arr[..., :3] * arr[..., 3:4] + bg * (1 - arr[..., 3:4])
         else:
+            # COLMAP RGBA: raw RGB + a SEPARATE alpha mask. The reference
+            # keeps the GT premultiply commented out (scene/cameras.py:
+            # 43-48), so the training target is the raw RGB; only mesh
+            # extraction consumes gt_alpha_mask.
             rgb = arr[..., :3]
             alpha_mask = arr[..., 3:4].transpose(2, 0, 1)
         arr = rgb

@@ -79,7 +79,7 @@ def load_gaussian_ply(path: str, max_sh_degree: int,
     params = dataclasses.replace(
         params,
         xyz=params.xyz.at[:n].set(xyz),
-        features_dc=params.features_dc.at[:n].set(f_dc[:, None, :].transpose(0, 1, 2).reshape(n, 1, 3)),
+        features_dc=params.features_dc.at[:n].set(f_dc[:, None, :]),
         features_rest=params.features_rest.at[:n].set(f_rest.astype(np.float32)),
         scaling=params.scaling.at[:n].set(scaling),
         rotation=params.rotation.at[:n].set(rotation),

@@ -61,13 +61,40 @@ class GaussianExtractor:
         print(f"The estimated bounding radius is {self.radius:.2f}")
         print(f"Use at least {2.0 * self.radius:.2f} for depth_trunc")
 
+    def _observed_bounds(self, depth_trunc: float, sdf_trunc: float,
+                         mask_background: bool):
+        """Bounding box of the OBSERVED surface (valid rendered depth
+        unprojected to world), padded by the truncation band. The reference
+        ScalableTSDFVolume is unbounded — it integrates anything within
+        depth_trunc of any CAMERA, which can lie well outside
+        center ± depth_trunc (e.g. floors running behind a camera ring) —
+        so a dense grid must be sized to the content, not the center."""
+        from gaussmart_tpu.ops.depth_normal import depths_to_points
+
+        lo = np.full(3, np.inf)
+        hi = np.full(3, -np.inf)
+        for cam, depth in zip(self.viewpoint_stack, self.depthmaps):
+            d = depth[0]
+            if mask_background and cam.alpha_mask is not None:
+                d = jnp.where(jnp.asarray(cam.alpha_mask[0]) < 0.5, 0.0, d)
+            valid = ((d > 0) & (d <= depth_trunc)).reshape(-1)
+            pts = depths_to_points(cam.params(), d[None])
+            big = jnp.where(valid[:, None], pts, -jnp.inf).max(axis=0)
+            small = jnp.where(valid[:, None], pts, jnp.inf).min(axis=0)
+            lo = np.minimum(lo, np.asarray(small))
+            hi = np.maximum(hi, np.asarray(big))
+        if not np.all(np.isfinite(lo)) or not np.all(np.isfinite(hi)):
+            return self.center - depth_trunc, self.center + depth_trunc
+        pad = 3.0 * sdf_trunc
+        return lo - pad, hi + pad
+
     def extract_mesh_bounded(self, voxel_size=0.004, sdf_trunc=0.02,
                              depth_trunc=3.0, mask_background=True) -> TriMesh:
         print("Running tsdf volume integration ...")
         print(f"voxel_size: {voxel_size}\nsdf_trunc: {sdf_trunc}\n"
               f"depth_trunc: {depth_trunc}")
-        lo = self.center - depth_trunc
-        hi = self.center + depth_trunc
+        lo, hi = self._observed_bounds(depth_trunc, sdf_trunc,
+                                       mask_background)
         vol = TSDFVolume(lo, hi, voxel_size, sdf_trunc)
         for cam, rgb, depth in zip(self.viewpoint_stack, self.rgbmaps,
                                    self.depthmaps):

@@ -77,7 +77,7 @@ def densify_and_prune(
     C = state.capacity
 
     grads = aux.grad_accum / jnp.maximum(aux.denom, 1.0)
-    grads = jnp.nan_to_num(grads, 0.0)
+    grads = jnp.nan_to_num(grads, nan=0.0)
     scaling = jnp.exp(params.scaling)
     max_scale = scaling.max(axis=-1)
 

@@ -53,6 +53,10 @@ class ViewSelector:
 
         n = len(self.positions)
         max_k = max_k or min(15, max(min_k + 1, n // 2))
+        # KMeans needs n_samples >= n_clusters; tiny scenes (n <= min_k)
+        # just use every camera as its own cluster
+        max_k = min(max_k, n)
+        min_k = min(min_k, n)
         X, _, _ = self._normalized()
         best_k, best_score = min_k, -np.inf
         for k in range(min_k, max_k + 1):

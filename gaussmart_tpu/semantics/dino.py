@@ -77,7 +77,10 @@ class DinoEncoder:
         self.image_size = image_size
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
 
-    def __call__(self, image: jnp.ndarray) -> jnp.ndarray:
+    def tokens(self, image: jnp.ndarray) -> jnp.ndarray:
+        """Full forward -> all final-norm tokens [1+(S/p)^2, D] (CLS first).
+        The single forward-pass definition — the loss (__call__) and the
+        CLS-patch heatmap visualization both ride it."""
         p = self.params
         S = self.image_size
         x = jax.image.resize(image, (3, S, S), method="bilinear")
@@ -95,8 +98,10 @@ class DinoEncoder:
         x = jnp.concatenate([cls, x], axis=0) + p["pos_embed"]
         for i in range(self.n_layers):
             x = _block(x, p, i, self.n_heads)
-        x = _layer_norm(x, p["norm_g"], p["norm_b"])
-        return x[0]                                              # CLS pooled
+        return _layer_norm(x, p["norm_g"], p["norm_b"])
+
+    def __call__(self, image: jnp.ndarray) -> jnp.ndarray:
+        return self.tokens(image)[0]                             # CLS pooled
 
     @property
     def n_layers(self) -> int:

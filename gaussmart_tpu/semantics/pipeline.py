@@ -75,24 +75,34 @@ class Pipeline:
             selected = list(range(len(analyzer.views)))
         print(f"Selected camera indices: {selected}")
 
-        # camera_NNN dict is keyed by the ORIGINAL camera indices
-        cameras_dict = {f"camera_{i:03d}": analyzer.views[idx]
-                        for i, idx in enumerate(selected)}
-        np.savez(os.path.join(self.dirs["cameras"], "selected_cameras.npz"),
-                 selected_indices=np.asarray(selected, np.int64),
-                 **{k: v["world_mat"] for k, v in cameras_dict.items()})
-
-        # image paths use the (possibly //2-mapped) image indices
+        # image paths use the (possibly //2-mapped) image indices; a camera
+        # whose image is missing is DROPPED from the selection so that
+        # image_paths, the masks computed from them, and cameras_dict stay
+        # position-aligned (keeping the camera would shift every later
+        # view's masks onto the wrong projection matrices)
         image_files = list_image_files(images_dir)
         image_paths: List[str] = []
+        kept: List[int] = []
         for idx in selected:
             img_idx = map_camera_to_image_index(idx, self.dataset_type)
             p = resolve_image_path(images_dir, img_idx, image_files,
                                    self.dataset_type)
             if p is not None:
+                kept.append(idx)
                 image_paths.append(p)
             else:
-                print(f"Warning: image for camera {idx} not found")
+                print(f"Warning: image for camera {idx} not found; "
+                      f"dropping the view")
+        selected = kept
+
+        # camera_NNN keys are POSITIONS in the kept selection (the same
+        # order as image_paths/masks); selected_indices records the
+        # original camera indices
+        cameras_dict = {f"camera_{i:03d}": analyzer.views[idx]
+                        for i, idx in enumerate(selected)}
+        np.savez(os.path.join(self.dirs["cameras"], "selected_cameras.npz"),
+                 selected_indices=np.asarray(selected, np.int64),
+                 **{k: v["world_mat"] for k, v in cameras_dict.items()})
         return selected, image_paths, cameras_dict
 
     def run_segmentation(self, image_paths: List[str]):

@@ -20,26 +20,11 @@ def cls_patch_heatmap(encoder, image: np.ndarray) -> np.ndarray:
     encoder: DinoEncoder; image: [3,H,W] float in [0,1].
     Returns [g,g] heatmap (g = image_size/patch).
     """
-    import jax
     import jax.numpy as jnp
 
-    p = encoder.params
-    S = encoder.image_size
-    x = jax.image.resize(jnp.asarray(image), (3, S, S), method="bilinear")
-    from gaussmart_tpu.semantics.dino import (IMAGENET_MEAN, IMAGENET_STD,
-                                              _block, _layer_norm)
-    mean = jnp.asarray(IMAGENET_MEAN).reshape(3, 1, 1)
-    std = jnp.asarray(IMAGENET_STD).reshape(3, 1, 1)
-    x = (x - mean) / std
-    g = S // encoder.patch
-    x = x.reshape(3, g, encoder.patch, g, encoder.patch)
-    x = x.transpose(1, 3, 0, 2, 4).reshape(g * g, -1)
-    x = x @ p["patch_w"] + p["patch_b"]
-    cls = p["cls_token"].reshape(1, -1)
-    x = jnp.concatenate([cls, x], axis=0) + p["pos_embed"]
-    for i in range(encoder.n_layers):
-        x = _block(x, p, i, encoder.n_heads)
-    x = _layer_norm(x, p["norm_g"], p["norm_b"])
+    # one forward-pass definition: the same encoder.tokens the loss uses
+    x = encoder.tokens(jnp.asarray(image))
+    g = encoder.image_size // encoder.patch
     cls_t = x[0] / jnp.linalg.norm(x[0])
     patches = x[1:] / jnp.linalg.norm(x[1:], axis=-1, keepdims=True)
     sim = patches @ cls_t
