@@ -19,6 +19,15 @@ def setup(cache_dir: str | None = None):
     if plat:
         jax.config.update("jax_platforms", plat)
 
+    # TPU matmuls default to bfloat16 operands; the splat->pixel projection
+    # (raster_common.preprocess) at bf16 puts projected centers off by up to
+    # 1.31 px at 776x584 (measured on v5e; 6e-8 at f32), which corrupts
+    # geometry, densify stats and CUDA parity. The hot-path matmuls are
+    # tiny-contraction camera math, so full f32 costs nothing measurable;
+    # models that want bf16 MXU throughput (the DINO ViT) can request it
+    # per-op via precision=.
+    jax.config.update("jax_default_matmul_precision", "float32")
+
     cache_dir = cache_dir or os.environ.get(
         "GAUSSMART_COMPILE_CACHE",
         os.path.expanduser("~/.cache/gaussmart_tpu/xla_cache"))

@@ -50,7 +50,7 @@ class Scene:
             args.source_path, args.images, args.white_background, args.eval)
         self.info = info
 
-        if not self.loaded_iter:
+        if self.loaded_iter is None:
             os.makedirs(self.model_path, exist_ok=True)
             shutil.copyfile(info.ply_path,
                             os.path.join(self.model_path, "input.ply"))
@@ -75,7 +75,7 @@ class Scene:
             self.test_cameras[scale] = [
                 load_camera(c, args.resolution, scale) for c in info.test_cameras]
 
-        if self.loaded_iter:
+        if self.loaded_iter is not None:
             self.gaussians = load_gaussian_ply(
                 os.path.join(self.model_path, "point_cloud",
                              f"iteration_{self.loaded_iter}", "point_cloud.ply"),

@@ -116,20 +116,18 @@ def training(dataset: ModelParams, opt: OptimizationParams,
         if key not in step_cache:
             if mesh is not None and parallel_mode == "mp":
                 # per-stratum compositing backend mirrors the single-chip
-                # "auto" policy: the production Pallas kernel on TPU (its
-                # seeded core is differentiable), the dense compositor
-                # elsewhere (interpret mode would crawl on CPU)
-                use_pal = (pipe.backend == "pallas"
-                           or (pipe.backend == "auto"
-                               and jax.default_backend() == "tpu"))
+                # "auto" policy (shared with eval/GUI): production Pallas
+                # kernel on TPU (its seeded core is differentiable), dense
+                # compositor elsewhere (interpret mode would crawl on CPU)
+                mp_backend = _sharded_render_backend(pipe.backend)
+                use_pal = mp_backend.endswith("_pallas")
                 step_cache[key] = make_mp_train_step(
                     opt, mesh, sh_degree=st.max_sh_degree,
                     white_background=dataset.white_background,
                     depth_ratio=pipe.depth_ratio, dino_fn=dino_fn,
                     spatial_lr_scale=st.spatial_lr_scale,
                     adam_on_densify=adam_on_densify,
-                    backend=("gaussian_sharded_pallas" if use_pal
-                             else "gaussian_sharded"),
+                    backend=mp_backend,
                     raster_budget=tuple(raster_budget) if use_pal else None)
             elif mesh is not None:
                 step_cache[key] = make_dp_train_step(

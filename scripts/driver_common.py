@@ -27,4 +27,6 @@ def run_jobs(cmds, max_workers: int | None = None):
                 print(f"[driver] job failed (rc={rc}): {c}", file=sys.stderr)
         return
     with ThreadPoolExecutor(max_workers=max_workers) as ex:
-        list(ex.map(sh, cmds))
+        for c, rc in zip(cmds, ex.map(sh, cmds)):
+            if rc != 0:
+                print(f"[driver] job failed (rc={rc}): {c}", file=sys.stderr)

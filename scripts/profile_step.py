@@ -66,6 +66,7 @@ def build(mode: str):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["train", "render"], default="train")
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--outdir", default="/tmp/gs_profile")
     args = ap.parse_args()
@@ -77,16 +78,43 @@ def main():
     from gaussmart_tpu.optim import init_adam
     params, adam, aux = state.params, init_adam(state.params), state.aux
     it = jnp.asarray(1, jnp.int32)
-    params, adam, aux, m, it = step(params, adam, aux, cams[0], gts[0], it)
-    jax.block_until_ready(params.xyz)
+
+    if args.mode == "render":
+        # forward-only: chain a cheap frame statistic into the next call's
+        # bg so dispatches can't pipeline/elide over the tunnel
+        from gaussmart_tpu.render.api import render
+
+        @jax.jit
+        def frame(state, cam, bg):
+            out = render(cam, state, bg, backend="auto")
+            return out["render"], out["render"].mean() * 1e-30
+
+        state0 = state
+        bgv = jnp.zeros(3)
+        img, leak = frame(state0, cams[0], bgv)
+        jax.block_until_ready(img)
+
+        def run(n):
+            lk = leak
+            for i in range(n):
+                img, lk = frame(state0, cams[i % 4], bgv + lk)
+            jax.block_until_ready(img)
+    else:
+        params, adam, aux, m, it = step(params, adam, aux, cams[0], gts[0],
+                                        it)
+        jax.block_until_ready(params.xyz)
+
+        def run(n):
+            nonlocal params, adam, aux, it
+            for i in range(n):
+                params, adam, aux, m, it = step(params, adam, aux,
+                                                cams[i % 4], gts[i % 4], it)
+            jax.block_until_ready(params.xyz)
 
     os.system(f"rm -rf {args.outdir}")
     with jax.profiler.trace(args.outdir):
         t0 = time.perf_counter()
-        for i in range(args.steps):
-            params, adam, aux, m, it = step(params, adam, aux,
-                                            cams[i % 4], gts[i % 4], it)
-        jax.block_until_ready(params.xyz)
+        run(args.steps)
         dt = time.perf_counter() - t0
     print(f"steps={args.steps} wall={dt:.3f}s  it/s={args.steps/dt:.2f}")
 
