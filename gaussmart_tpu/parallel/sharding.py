@@ -36,6 +36,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gaussmart_tpu.cameras import CameraParams
 from gaussmart_tpu.config import OptimizationParams
+from gaussmart_tpu.render.raster_common import T_EPS
 from gaussmart_tpu.models.densify import add_densification_stats
 from gaussmart_tpu.optim import adam_step, group_lrs
 from gaussmart_tpu.train_lib import StepMetrics, _loss_and_aux
@@ -287,10 +288,15 @@ def render_gaussian_sharded(mesh: Mesh, prep, means2d, bg, width: int,
 
         C = C_near + T_near * C_far,   T = T_near * T_far,
 
-    plus the distortion-moment merge (M1/M2 incoming offsets) and a
-    highest-rank-hit pick for median depth. Exact up to the T_EPS early-
-    termination cutoff (segment weights scale linearly by incoming
-    transmittance only where termination does not bite; T_EPS=1e-4).
+    plus the distortion-moment merge (M1/M2 incoming offsets), a
+    highest-rank-hit pick for median depth, and an exact sticky-termination
+    carry: pass 1 reports each stratum's min test transmittance, the fold
+    detects the stratum where the single-chip walk would freeze
+    (T_in*min_test < T_EPS) and zeroes the seed T for every later stratum,
+    and the final T is the last live stratum's seeded T — so the composite
+    matches the single-chip walk INCLUDING the early-termination freeze
+    (pass-1 moment factors remain w-linear approximations below the
+    T_EPS=1e-4 cutoff; everything else is exact to fp rounding).
 
     Pass 1 composites every stratum locally (init T=1) and all-gathers the
     per-pixel transmittance factors + moment totals; pass 2 re-composites
@@ -358,7 +364,8 @@ def render_gaussian_sharded(mesh: Mesh, prep, means2d, bg, width: int,
         # pass 1: local composite (init T=1) -> stratum summary
         p1, _ = raster(prep_l, means2d_l)
         factors = jax.lax.all_gather(
-            jnp.stack([p1["T"], p1["M1"], p1["M2"]]), axis)      # [D,3,P]
+            jnp.stack([p1["T"], p1["M1"], p1["M2"],
+                       p1["min_test"]]), axis)                   # [D,4,P]
         ranks = jnp.arange(n_dev)
         before = (ranks < rank)[:, None]
         T_in = jnp.prod(jnp.where(before, factors[:, 0], 1.0), axis=0)
@@ -369,10 +376,20 @@ def render_gaussian_sharded(mesh: Mesh, prep, means2d, bg, width: int,
             jnp.cumprod(factors[:, 0], axis=0)[:-1]], axis=0)    # [D,P]
         M1_in = jnp.sum(jnp.where(before, T_in_all * factors[:, 1], 0.0), 0)
         M2_in = jnp.sum(jnp.where(before, T_in_all * factors[:, 2], 0.0), 0)
+        # sticky-termination carry: single-chip stops a pixel for good once
+        # test_T = T(1-alpha) < T_EPS, and its frozen T can be as large as
+        # T_EPS/(1-ALPHA_MAX), so "T_in < T_EPS" alone cannot reconstruct
+        # `done`. Stratum k triggered globally iff T_in_k * min_test_k <
+        # T_EPS (tests decrease monotonically along a walk; w-linearity
+        # maps local tests to global ones). A zero seed transmittance
+        # reproduces "done": every later contribution gets w = alpha*T = 0.
+        trig = T_in_all * factors[:, 3] < T_EPS                  # [D,P]
+        done_in = jnp.any(jnp.where(before, trig, False), axis=0)
+        T_seed = jnp.where(done_in, 0.0, T_in)
 
         # pass 2: exact re-composite against global incoming state
         p2, nd = raster(prep_l, means2d_l,
-                        init={"T": T_in, "M1": M1_in, "M2": M2_in})
+                        init={"T": T_seed, "M1": M1_in, "M2": M2_in})
 
         local = {
             "color": p2["color"], "normal": p2["normal"],
@@ -380,7 +397,13 @@ def render_gaussian_sharded(mesh: Mesh, prep, means2d, bg, width: int,
             "dist": p2["dist"],
         }
         tot = jax.tree.map(lambda v: jax.lax.psum(v, axis), local)
-        T_total = jnp.prod(factors[:, 0], axis=0)
+        # final transmittance = the LAST LIVE stratum's seeded T (exact,
+        # incl. the early-termination freeze); the naive product of local
+        # factors keeps multiplying past a termination cut
+        r_live = jnp.where(~done_in, rank, -1)
+        r_star = jax.lax.pmax(r_live, axis)
+        T_total = jax.lax.psum(
+            jnp.where(r_live == r_star, p2["T"], 0.0), axis)
 
         # median: the deepest stratum that recorded a T>0.5 crossing wins
         hit = p2["median"] > 0

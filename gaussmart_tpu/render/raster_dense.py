@@ -139,8 +139,17 @@ def _chunk_body(carry: Dict[str, jnp.ndarray], chunk: Dict[str, jnp.ndarray],
     T_full = carry["T"] * jnp.prod(1.0 - alpha, axis=0)
     new_T = jnp.where(any_bad, T_at_cut, T_full)
 
+    # min test transmittance over CONSIDERED entries (incl. the terminating
+    # one, which T never records): lets the Gaussian-sharded fold
+    # reconstruct the sticky `done` exactly across strata.
+    prior_bad = (jnp.cumsum(bad.astype(jnp.int32), axis=0)
+                 - bad.astype(jnp.int32)) >= 1
+    considered = (alpha > 0) & ~prior_bad & ~carry["done"][None, :]
+    mt_chunk = jnp.min(jnp.where(considered, test_T, 2.0), axis=0)
+
     new_carry = {
         "T": new_T,
+        "min_test": jnp.minimum(carry["min_test"], mt_chunk),
         "done": carry["done"] | jnp.max(bad, axis=0),
         "color": carry["color"] + color_add,
         "normal": carry["normal"] + normal_add,
@@ -212,6 +221,7 @@ def rasterize_pixels(
 
     init = {
         "T": jnp.ones((P,), jnp.float32),
+        "min_test": jnp.full((P,), 2.0, jnp.float32),
         "done": jnp.zeros((P,), bool),
         "color": jnp.zeros((3, P), jnp.float32),
         "normal": jnp.zeros((3, P), jnp.float32),
@@ -247,5 +257,8 @@ def rasterize_pixels(
         "allmap": allmap.reshape(7, rows, width),
     }
     if return_raw:
-        out["raw"] = final
+        raw = dict(final)
+        # discrete termination-reconstruction signal; not differentiable
+        raw["min_test"] = jax.lax.stop_gradient(raw["min_test"])
+        out["raw"] = raw
     return out

@@ -59,7 +59,7 @@ STREAMS = 4
 K = 64              # splat entries per DMA chunk
 F = 20              # blob feature columns (see _build_blob)
 F_PAD = 128         # lane-aligned (Mosaic requires 128-wide lane slices)
-CH = 13             # forward framebuffer channels
+CH = 14             # forward framebuffer channels (incl. min_test)
 FARNEAR = (100.0 * 0.2) / (100.0 - 0.2)  # d(mapped)/d(depth) numerator
 
 
@@ -297,7 +297,8 @@ def _make_fwd_kernel(tiles_x: int, with_init: bool = False):
             T=T0, done=izero,
             C0=zero, C1=zero, C2=zero, D=zero, A=zero,
             N0=zero, N1=zero, N2=zero, med=zero, dist=zero,
-            M1=M1_0, M2=M2_0, n_contrib=izero, med_e=izero - 1)
+            M1=M1_0, M2=M2_0, mt=zero + 2.0,
+            n_contrib=izero, med_e=izero - 1)
 
         def start_dmas(slot, c):
             for s in range(STREAMS):
@@ -378,6 +379,12 @@ def _make_fwd_kernel(tiles_x: int, with_init: bool = False):
                 new["T"] = jnp.where(contrib, test_T, T)
                 new["done"] = jnp.maximum(st["done"], trigger.astype(jnp.int32))
                 new["n_contrib"] = jnp.where(contrib, e_rel + 1, st["n_contrib"])
+                # min test transmittance over CONSIDERED entries (incl. the
+                # terminating one, which T itself never records) — lets the
+                # Gaussian-sharded fold reconstruct the sticky `done` state
+                # exactly: stratum k triggered iff T_in_k*min_test_k < T_EPS
+                new["mt"] = jnp.where(alive & has_a,
+                                      jnp.minimum(st["mt"], test_T), st["mt"])
                 return new
 
             # only walk up to the longest stream's remaining entries —
@@ -410,7 +417,7 @@ def _make_fwd_kernel(tiles_x: int, with_init: bool = False):
             wait_dmas(jax.lax.rem(c_final, 2), c_final)
 
         names = ["C0", "C1", "C2", "D", "A", "N0", "N1", "N2", "med",
-                 "dist", "T", "M1", "M2"]
+                 "dist", "T", "M1", "M2", "mt"]
         for i, nm in enumerate(names):
             fb_ref[0, i] = st[nm]
         ints_ref[0, 0] = st["n_contrib"]
@@ -1157,6 +1164,9 @@ def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
             "normal": maps[5:8].reshape(3, -1),
             "depth": flat(3), "alpha": flat(4), "median": flat(8),
             "dist": flat(9), "T": flat(10), "M1": flat(11), "M2": flat(12),
+            # discrete termination-reconstruction signal (sharded fold);
+            # not differentiable by contract
+            "min_test": jax.lax.stop_gradient(flat(13)),
         }
     return out
 

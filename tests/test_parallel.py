@@ -486,3 +486,55 @@ def test_gaussian_sharded_dense_overlap(rng):
     # median: discrete pick; allow rare boundary flips
     med_mismatch = np.mean(np.abs(am_o[5] - am_r[5]) > 1e-3)
     assert med_mismatch < 0.02, med_mismatch
+
+
+def test_gaussian_sharded_sticky_termination_carry(rng):
+    """The single-chip walk freezes a pixel FOR GOOD once T(1-a) < T_EPS,
+    with frozen T as large as T_EPS/(1-ALPHA_MAX)=1e-2 — far above T_EPS —
+    so the fold cannot reconstruct `done` from T alone. With the min-test
+    carry (pass-1 min_test + zeroed seed T + last-live-stratum final T) the
+    sharded composite must match the dense single-chip walk to fp rounding
+    even where termination bites mid-stratum."""
+    from gaussmart_tpu.parallel.sharding import render_gaussian_sharded
+    from gaussmart_tpu.render.raster_common import T_EPS
+
+    mesh = make_mesh()
+    n = 64
+    # a deep stack of near-opaque splats on one line of sight: T crosses
+    # T_EPS within a few entries, and the cut lands mid-stratum for many
+    # pixels
+    pts = np.stack([rng.uniform(-0.12, 0.12, n), rng.uniform(-0.12, 0.12, n),
+                    rng.uniform(2.0, 4.0, n)], axis=1).astype(np.float32)
+    from gaussmart_tpu.models.gaussians import init_from_pcd
+    state = init_from_pcd(pts, rng.random((n, 3)).astype(np.float32), None,
+                          max_sh_degree=0, spatial_lr_scale=1.0, capacity=64)
+    import dataclasses as dc
+    from gaussmart_tpu.transforms import inverse_sigmoid
+    op = np.full(n, 0.95, np.float32)
+    state = state.replace(params=dc.replace(
+        state.params,
+        opacity=state.params.opacity.at[:, 0].set(
+            np.asarray(inverse_sigmoid(op)))))
+    cam = Camera(uid=0, colmap_id=0, image_name="c", R=np.eye(3),
+                 T=np.zeros(3), fovx=0.9, fovy=0.7, width=32,
+                 height=24).params()
+    prep = raster_common.preprocess(
+        state.params.xyz, state.get_scaling, state.params.rotation,
+        state.get_opacity[:, 0], state.get_features, state.aux.active,
+        cam, sh_degree=0)
+    means2d = jnp.zeros((n, 2))
+    bg = jnp.asarray([0.2, 0.4, 0.6])
+
+    ref = rasterize_pixels(prep, means2d, bg, 32, 24, chunk=8,
+                           return_raw=True)
+    # the regime under test must actually occur: frozen T well above T_EPS
+    doneT = np.asarray(ref["raw"]["T"])[np.asarray(ref["raw"]["done"])]
+    assert doneT.size > 0 and doneT.max() > 3 * T_EPS, (
+        "scene must early-terminate with frozen T >> T_EPS")
+
+    out = render_gaussian_sharded(mesh, prep, means2d, bg, 32, 24, chunk=8)
+    np.testing.assert_allclose(np.asarray(out["image"]),
+                               np.asarray(ref["image"]), atol=2e-5)
+    am_o, am_r = np.asarray(out["allmap"]), np.asarray(ref["allmap"])
+    np.testing.assert_allclose(am_o[[0, 1, 2, 3, 4, 6]],
+                               am_r[[0, 1, 2, 3, 4, 6]], atol=2e-4)
