@@ -51,12 +51,19 @@ def read_ply(path: str) -> Dict[str, np.ndarray]:
             elements.append((parts[1], int(parts[2]), cur_props))
         elif parts[0] == "property":
             if parts[1] == "list":
-                raise ValueError("list properties unsupported in vertex reader")
-            cur_props.append((parts[-1], _TYPES[parts[1]]))
+                # variable-length rows: mark the element unreadable instead
+                # of failing the whole file — a mesh PLY's face element must
+                # not block reading its (earlier) vertex element
+                cur_props.append((None, None))
+            else:
+                cur_props.append((parts[-1], _TYPES[parts[1]]))
 
     out: Dict[str, np.ndarray] = {}
     offset = 0
     for name, count, props in elements:
+        has_list = any(p[0] is None for p in props)
+        if name == "vertex" and has_list:
+            raise ValueError("list properties unsupported in vertex reader")
         if fmt == "ascii":
             text = body.decode("ascii")
             rows = np.loadtxt(io.StringIO(text), max_rows=count, ndmin=2)
@@ -64,6 +71,10 @@ def read_ply(path: str) -> Dict[str, np.ndarray]:
                 for i, (pname, ptype) in enumerate(props):
                     out[pname] = rows[:, i].astype(ptype)
             break  # ascii multi-element unsupported (not needed)
+        if has_list:
+            # variable-length element (e.g. faces): rows cannot be skipped
+            # with a fixed dtype; everything wanted (vertex) comes first
+            break
         endian = "<" if "little" in fmt else ">"
         dtype = np.dtype([(p, endian + t) for p, t in props])
         n_bytes = dtype.itemsize * count

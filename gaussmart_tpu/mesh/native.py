@@ -34,6 +34,13 @@ def _build() -> Optional[str]:
         subprocess.run(cmd, check=True, capture_output=True)
         return _BIN
     except Exception as e:
+        if os.path.exists(_BIN):
+            # a stale binary (e.g. compiler missing, source mtime touched by
+            # checkout) still beats the numpy path, which needs tens of GB
+            # of per-tet index arrays at production grid sizes
+            print(f"[native] marching_tet rebuild failed ({e}); "
+                  f"loading the existing (possibly stale) binary")
+            return _BIN
         print(f"[native] marching_tet build failed ({e}); using numpy path")
         return None
 

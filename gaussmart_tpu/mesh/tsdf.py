@@ -54,6 +54,19 @@ def _bilinear(img: jnp.ndarray, ndc: jnp.ndarray):
             + v10 * (1 - fx) * fy + v11 * fx * fy)
 
 
+def _nearest(img: jnp.ndarray, ndc: jnp.ndarray):
+    """Sample [C,H,W] at NDC coords, nearest pixel (open3d parity: depth
+    must NOT be bilinearly blended — interpolating across a mask/silhouette
+    boundary manufactures phantom depths like d/2 that pass the d>0 test
+    and float spurious geometry in front of the surface)."""
+    C, H, W = img.shape
+    x = jnp.clip(jnp.round((ndc[:, 0] * 0.5 + 0.5) * (W - 1)).astype(
+        jnp.int32), 0, W - 1)
+    y = jnp.clip(jnp.round((ndc[:, 1] * 0.5 + 0.5) * (H - 1)).astype(
+        jnp.int32), 0, H - 1)
+    return img[:, y, x]
+
+
 CHUNK = 8_388_608   # voxels per inner step; bounds transient memory
 
 
@@ -80,8 +93,8 @@ def _integrate_chunk(tsdf, weight, color, base, dydz, origin, voxel_size,
               * voxel_size + origin[None, :])
     ndc, z = _project(points, full_proj)
     in_img = (jnp.abs(ndc) < 1.0).all(axis=1) & (z > 0)
-    d = _bilinear(depth[None], ndc)[0]
-    c = _bilinear(rgb, ndc).T                                  # [M,3]
+    d = _nearest(depth[None], ndc)[0]
+    c = _nearest(rgb, ndc).T                                   # [M,3]
     valid_d = (d > 0) & (d <= depth_trunc)
     sdf = d - z
     upd = in_img & valid_d & (sdf > -sdf_trunc)
@@ -111,9 +124,12 @@ class TSDFVolume:
         if max_voxels is None:
             # grid state is 20 B/voxel (tsdf+weight+rgb f32); 200M ≈ 4 GB,
             # which coexists with the scene/render buffers on a 16 GB v5e.
-            # Bigger chips (v5p: 95 GB) can raise this.
+            # Bigger chips (v5p: 95 GB) can raise this — up to the int32
+            # flat-index ceiling (voxel coordinates are de-interleaved from
+            # a 32-bit flat index inside the integration program).
             max_voxels = int(os.environ.get("GAUSSMART_TSDF_MAX_VOXELS",
                                             200_000_000))
+        max_voxels = min(max_voxels, 2**31 - CHUNK)
         self.voxel_size = float(voxel_size)
         self.sdf_trunc = float(sdf_trunc)
         self.origin = np.asarray(bounds_min, np.float64)
@@ -122,9 +138,14 @@ class TSDFVolume:
         if int(np.prod(dims)) > max_voxels:
             scale = (np.prod(dims) / max_voxels) ** (1 / 3)
             self.voxel_size *= float(scale)
+            # keep the truncation band the caller asked for in VOXELS
+            # (callers compute sdf_trunc = k*voxel_size; a fixed band over
+            # coarser voxels thins below one voxel and punches holes)
+            self.sdf_trunc *= float(scale)
             dims = np.ceil((np.asarray(bounds_max) - self.origin)
                            / self.voxel_size).astype(int) + 1
-            print(f"[tsdf] grid capped: voxel_size -> {self.voxel_size:.5f}")
+            print(f"[tsdf] grid capped: voxel_size -> {self.voxel_size:.5f} "
+                  f"(sdf_trunc scaled with it -> {self.sdf_trunc:.5f})")
         self.dims = tuple(int(d) for d in dims)
         n = int(np.prod(self.dims))
         self._n = n
@@ -162,8 +183,11 @@ class TSDFVolume:
                             for t, w in zip(self.tsdf, self.weight)])
         q = q.reshape(self.dims)
         # Unobserved voxels must not generate surface (open3d skips them):
-        # mark NaN; marching drops any triangle touching a NaN corner.
-        vol = np.where(q == -128, np.nan, q.astype(np.float64) / 127.0)
+        # mark NaN; marching drops any TET touching a NaN corner. float32
+        # throughout: at the 200M-voxel cap a float64 grid is a 1.6 GB
+        # transient that the native path would immediately re-copy to f32.
+        vol = np.where(q == np.int8(-128), np.float32(np.nan),
+                       q.astype(np.float32) / np.float32(127.0))
         v, f = marching_tetrahedra(vol, level=0.0,
                                    spacing=(self.voxel_size,) * 3,
                                    origin=self.origin)

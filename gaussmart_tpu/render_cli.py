@@ -8,6 +8,7 @@ sdf_trunc = 5*voxel), diffuse texture via active_sh_degree=0.
 from __future__ import annotations
 
 import os
+import sys
 from argparse import ArgumentParser
 
 import numpy as np
@@ -47,6 +48,10 @@ def main(argv=None):
                              "beyond one chip's HBM)")
     args = get_combined_args(parser, argv)
     print("Rendering " + args.model_path)
+    if args.quiet:
+        # reference parity (render.py prints the header, then
+        # safe_state(quiet) silences stdout for the rest of the run)
+        sys.stdout = open(os.devnull, "w")
 
     dataset = extract_group(args, ModelParams)
     pipe = extract_group(args, PipelineParams)

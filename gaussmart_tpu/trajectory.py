@@ -90,7 +90,7 @@ def generate_ellipse_path(poses: np.ndarray, n_frames: int = 120,
 
 def cameras_c2w(cameras: List[Camera]) -> np.ndarray:
     """Column-vector camera-to-world matrices for a camera list."""
-    return np.array([np.linalg.inv(c.world_view.T) for c in cameras])
+    return np.array([c.c2w() for c in cameras])
 
 
 def generate_path(viewpoint_cameras: List[Camera], n_frames: int = 480

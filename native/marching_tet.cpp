@@ -13,7 +13,10 @@
 //                    double* out_verts /* [3*maxT, 3] */, int64 maxT)
 //       -> number of triangles written (3 consecutive vertices each)
 //
-// NaN corners mark unobserved voxels: any tet touching NaN emits nothing.
+// NaN corners mark unobserved voxels: a TET touching NaN emits nothing, but
+// the cube's other tets still do (parity with the numpy oracle, which drops
+// non-finite triangles per tet — a cube-level skip would cut holes along
+// every observed/unobserved boundary).
 #include <cmath>
 #include <cstdint>
 #include <vector>
@@ -43,17 +46,6 @@ inline int corner_dx(int c) { return c & 1; }
 inline int corner_dy(int c) { return (c >> 1) & 1; }
 inline int corner_dz(int c) { return (c >> 2) & 1; }
 
-// Number of triangles for a 4-bit inside-code: 0 for 0/15, 1 for single
-// corner (or its complement), 2 for the quad cases.
-inline int tris_for_code(int code) {
-    switch (code) {
-        case 0: case 15: return 0;
-        case 1: case 2: case 4: case 8:
-        case 7: case 11: case 13: case 14: return 1;
-        default: return 2;
-    }
-}
-
 template <typename EmitFn>
 void process(const float* vol, int64_t X, int64_t Y, int64_t Z, float level,
              const double* spacing, const double* origin, EmitFn&& emit) {
@@ -64,28 +56,35 @@ void process(const float* vol, int64_t X, int64_t Y, int64_t Z, float level,
             const float* base = vol + x * sx + y * sy;
             for (int64_t z = 0; z + 1 < Z; ++z) {
                 float f[8];
-                bool bad = false, any_in = false, any_out = false;
+                bool nan_c[8];
+                bool all_nan = true, any_in = false, any_out = false;
                 for (int c = 0; c < 8; ++c) {
                     f[c] = base[corner_dx(c) * sx + corner_dy(c) * sy + z
                                 + corner_dz(c)];
-                    if (std::isnan(f[c])) { bad = true; }
-                    else if (f[c] < level) any_in = true;
+                    nan_c[c] = std::isnan(f[c]);
+                    if (nan_c[c]) continue;
+                    all_nan = false;
+                    if (f[c] < level) any_in = true;
                     else any_out = true;
                 }
-                if (bad || !any_in || !any_out) continue;
+                // crossings only exist where both sides appear among the
+                // FINITE corners; NaN exclusion happens per tet below
+                if (all_nan || !any_in || !any_out) continue;
                 for (int t = 0; t < 6; ++t) {
                     int code = 0;
+                    bool bad = false;
                     double fv[4];
                     V3 pv[4];
                     for (int k = 0; k < 4; ++k) {
                         int c = TETS[t][k];
+                        if (nan_c[c]) bad = true;
                         fv[k] = f[c];
                         if (fv[k] < level) code |= (1 << k);
                         pv[k] = {origin[0] + (x + corner_dx(c)) * spacing[0],
                                  origin[1] + (y + corner_dy(c)) * spacing[1],
                                  origin[2] + (z + corner_dz(c)) * spacing[2]};
                     }
-                    if (code == 0 || code == 15) continue;
+                    if (bad || code == 0 || code == 15) continue;
                     int ins[4], outs[4], ni = 0, no = 0;
                     for (int k = 0; k < 4; ++k) {
                         if ((code >> k) & 1) ins[ni++] = k;

@@ -45,6 +45,35 @@ def test_native_nan_handling(lib):
     assert len(v) == len(v2)
 
 
+def test_native_nan_isolated_corner(lib):
+    """A NaN corner must drop only the TETS touching it, not the whole
+    cube: the numpy oracle emits the other tets' triangles (a cube-level
+    skip cuts holes along every observed/unobserved TSDF boundary)."""
+    vol = np.full((2, 2, 2), 1.0, np.float32)
+    vol[0, 0, 0] = -1.0
+    vol[1, 0, 0] = np.nan       # corner (x=1,y=0,z=0): in 2 of the 6 tets
+    v, f = native.marching_tetrahedra_native(vol, 0.0)
+    v2, _ = marching_tetrahedra(vol.astype(np.float64), 0.0,
+                                use_native=False)
+    assert len(v2) > 0, "oracle must emit the NaN-free tets"
+    assert len(v) == len(v2), (len(v), len(v2))
+    assert np.isfinite(v).all()
+    # same triangles modulo ordering
+    a = np.sort(np.asarray(v).reshape(-1, 9), axis=0)
+    b = np.sort(np.asarray(v2).reshape(-1, 9), axis=0)
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+    # random scattered-NaN volumes: triangle COUNT parity with the oracle
+    rng = np.random.default_rng(3)
+    for _ in range(3):
+        vol = rng.normal(size=(6, 6, 6)).astype(np.float32)
+        vol[rng.random((6, 6, 6)) < 0.15] = np.nan
+        v, _ = native.marching_tetrahedra_native(vol, 0.0)
+        v2, _ = marching_tetrahedra(vol.astype(np.float64), 0.0,
+                                    use_native=False)
+        assert len(v) == len(v2), (len(v), len(v2))
+
+
 def test_native_speedup(lib):
     vol, xs = sphere(n=64)
     sp = (xs[1] - xs[0],) * 3
