@@ -46,15 +46,31 @@ class GaussianExtractor:
     def reconstruction(self, viewpoint_stack: List[Camera]):
         self.clean()
         self.viewpoint_stack = list(viewpoint_stack)
-        render_fn = jax.jit(
-            lambda cam: render(cam, self.state, self.bg,
-                               depth_ratio=self.depth_ratio,
-                               backend=self.backend, mesh=self.mesh,
-                               # inference: generous duplicate budget so
-                               # exports never truncate (CUDA parity)
-                               raster_budget=(64, 12)))
+
+        # Inference must never truncate (CUDA parity: the reference
+        # duplicates into every touched tile). The needed duplicate budget
+        # is scene-dependent — late-training splats can cover hundreds of
+        # tiles — so escalate until the kernel reports zero dropped
+        # duplicates (each level is one cached recompile; the budget is
+        # monotone across frames).
+        budget = [64, 12]
+
+        def make_fn(b):
+            return jax.jit(lambda cam: render(
+                cam, self.state, self.bg, depth_ratio=self.depth_ratio,
+                backend=self.backend, mesh=self.mesh,
+                raster_budget=(b[0], b[1])))
+
+        render_fn = make_fn(budget)
         for cam in self.viewpoint_stack:
             pkg = render_fn(cam.params())
+            while int(pkg["n_dropped"]) > 0 and budget[0] < 512:
+                budget[0] = min(budget[0] * 2, 512)
+                budget[1] = min(budget[1] * 2, 64)
+                print(f"[extract] duplicate budget -> {tuple(budget)} "
+                      f"(dropped {int(pkg['n_dropped'])})")
+                render_fn = make_fn(budget)
+                pkg = render_fn(cam.params())
             self.rgbmaps.append(pkg["render"])
             self.depthmaps.append(pkg["surf_depth"])
         self.center, self.radius = estimate_bounding_sphere(self.viewpoint_stack)

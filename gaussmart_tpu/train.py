@@ -260,7 +260,8 @@ def training(dataset: ModelParams, opt: OptimizationParams,
         if iteration in testing_iterations:
             state = state.replace(params=params, aux=aux)
             report_eval(scene, state, pipe, dataset, iteration, tb=tb,
-                        mesh=mesh if parallel_mode == "mp" else None)
+                        mesh=mesh if parallel_mode == "mp" else None,
+                        train_budget=tuple(raster_budget))
             params, aux = state.params, state.aux
 
         if iteration in saving_iterations:
@@ -432,7 +433,7 @@ def _sharded_render_backend(backend: str) -> str:
 
 @functools.lru_cache(maxsize=None)
 def _make_eval_view(depth_ratio: float, backend: str, white_bg: bool,
-                    mesh=None):
+                    mesh=None, raster_budget=(64, 12)):
     """Jitted per-view eval, cached at module scope so repeated report_eval
     calls reuse ONE compiled program per (config, state-capacity) — the
     closure-over-state version recompiled on every test iteration (minutes
@@ -450,9 +451,12 @@ def _make_eval_view(depth_ratio: float, backend: str, white_bg: bool,
     @jax.jit
     def _eval_view(state, cam_params, gt_image):
         # generous duplicate budget: eval must measure the model, not the
-        # training-time truncation (the CUDA reference never truncates)
+        # training-time truncation (the CUDA reference never truncates).
+        # Never BELOW the training budget — scenes whose adaptive budget
+        # escalated past the default would otherwise eval with tighter
+        # truncation than they trained with.
         pkg = render(cam_params, state, bg, depth_ratio=depth_ratio,
-                     backend=backend, raster_budget=(64, 12), mesh=mesh)
+                     backend=backend, raster_budget=raster_budget, mesh=mesh)
         img = jnp.clip(pkg["render"], 0, 1)
         gt = jnp.clip(gt_image, 0, 1)
         return (img, l1_loss(img, gt), psnr_fn(img[None], gt[None])[0, 0],
@@ -463,10 +467,11 @@ def _make_eval_view(depth_ratio: float, backend: str, white_bg: bool,
 
 
 def report_eval(scene: Scene, state, pipe, dataset, iteration, tb=None,
-                mesh=None):
+                mesh=None, train_budget=None):
     """In-loop test/train eval (train.py:268-344); LPIPS(alex) included when
     local weights exist (train.py:70). Pass `mesh` when state is
-    arena-sharded (mp mode)."""
+    arena-sharded (mp mode); `train_budget` = the loop's current adaptive
+    (max_dup, work_mult) so eval never truncates harder than training."""
     from gaussmart_tpu.eval import lpips_jax
 
     lpips = lpips_jax.load_lpips("alex")
@@ -477,8 +482,12 @@ def report_eval(scene: Scene, state, pipe, dataset, iteration, tb=None,
         configs.append(("train", [train_cams[i % len(train_cams)]
                                   for i in range(5, 30, 5)]))
 
+    budget = (64, 12)
+    if train_budget is not None:
+        budget = (max(budget[0], train_budget[0]),
+                  max(budget[1], train_budget[1]))
     _eval_view = _make_eval_view(pipe.depth_ratio, pipe.backend,
-                                 dataset.white_background, mesh)
+                                 dataset.white_background, mesh, budget)
 
     results = {}
     for name, cams in configs:
