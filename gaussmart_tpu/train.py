@@ -298,7 +298,8 @@ def training(dataset: ModelParams, opt: OptimizationParams,
         if gui is not None:
             _serve_gui(gui, state.replace(params=params, aux=aux), pipe,
                        dataset, ema, iteration, opt.iterations,
-                       mesh=mesh if parallel_mode == "mp" else None)
+                       mesh=mesh if parallel_mode == "mp" else None,
+                       raster_budget=tuple(raster_budget))
 
         if iteration in checkpoint_iterations:
             print(f"\n[ITER {iteration}] Saving Checkpoint")
@@ -317,26 +318,29 @@ def training(dataset: ModelParams, opt: OptimizationParams,
 _GUI_RENDER_CACHE = {}
 
 
-def _gui_render_fn(depth_ratio: float, backend: str, mesh=None):
+def _gui_render_fn(depth_ratio: float, backend: str, mesh=None,
+                   raster_budget=None):
     """Jitted viewer render, cached per pipeline config. Eager dispatch of
     render_arrays costs ~1.4 s/frame over the remote TPU tunnel (measured);
     one compiled program per (resolution, capacity) serves frames at
     device-render speed. jit's own cache handles shape changes. `mesh` set
-    = mp mode (arena-sharded state -> gaussian-sharded composite)."""
-    key = (depth_ratio, backend, mesh)
+    = mp mode (arena-sharded state -> gaussian-sharded composite).
+    `raster_budget` follows the training loop's adaptive budget so the live
+    preview shows what training sees (recompiles only when it escalates)."""
+    key = (depth_ratio, backend, mesh, raster_budget)
     fn = _GUI_RENDER_CACHE.get(key)
     if fn is None:
         if mesh is not None:
             backend = _sharded_render_backend(backend)
         fn = jax.jit(lambda c, s, b, m: render(
             c, s, b, scaling_modifier=m, depth_ratio=depth_ratio,
-            backend=backend, mesh=mesh))
+            backend=backend, mesh=mesh, raster_budget=raster_budget))
         _GUI_RENDER_CACHE[key] = fn
     return fn
 
 
 def _serve_gui(gui, state, pipe, dataset, ema, iteration, max_iters,
-               mesh=None):
+               mesh=None, raster_budget=None):
     """One GUI poll/serve round (reference train.py:223-242 semantics)."""
     import jax.numpy as jnp
     from gaussmart_tpu.viewer.protocol import image_to_bytes, render_net_image
@@ -350,7 +354,8 @@ def _serve_gui(gui, state, pipe, dataset, ema, iteration, max_iters,
             net_image_bytes = None
             cam, do_training, keep_alive, smod, mode = gui.receive()
             if cam is not None:
-                pkg = _gui_render_fn(pipe.depth_ratio, pipe.backend, mesh)(
+                pkg = _gui_render_fn(pipe.depth_ratio, pipe.backend, mesh,
+                                     raster_budget)(
                     cam.params(), state, bg, jnp.float32(smod))
                 net_image = render_net_image(pkg, dataset.render_items, mode,
                                              cam)
@@ -466,6 +471,18 @@ def _make_eval_view(depth_ratio: float, backend: str, white_bg: bool,
     return _eval_view
 
 
+def eval_budget(train_budget):
+    """Duplicate budget for in-loop eval: the generous default (64, 12),
+    floored elementwise at the training loop's current adaptive
+    (max_dup, work_mult) — a scene whose budget escalated past the default
+    must never eval with tighter truncation than it trained with."""
+    budget = (64, 12)
+    if train_budget is not None:
+        budget = (max(budget[0], train_budget[0]),
+                  max(budget[1], train_budget[1]))
+    return budget
+
+
 def report_eval(scene: Scene, state, pipe, dataset, iteration, tb=None,
                 mesh=None, train_budget=None):
     """In-loop test/train eval (train.py:268-344); LPIPS(alex) included when
@@ -482,10 +499,7 @@ def report_eval(scene: Scene, state, pipe, dataset, iteration, tb=None,
         configs.append(("train", [train_cams[i % len(train_cams)]
                                   for i in range(5, 30, 5)]))
 
-    budget = (64, 12)
-    if train_budget is not None:
-        budget = (max(budget[0], train_budget[0]),
-                  max(budget[1], train_budget[1]))
+    budget = eval_budget(train_budget)
     _eval_view = _make_eval_view(pipe.depth_ratio, pipe.backend,
                                  dataset.white_background, mesh, budget)
 

@@ -29,9 +29,12 @@ def view(dataset: ModelParams, pipe: PipelineParams, iteration: int,
     bg = jnp.asarray([1.0, 1.0, 1.0] if dataset.white_background
                      else [0.0, 0.0, 0.0])
     # jitted + cached render: eager per-op dispatch costs seconds per frame
-    # (jit's own cache handles per-resolution retraces)
+    # (jit's own cache handles per-resolution retraces). Generous duplicate
+    # budget: a finished model may have needed an escalated budget during
+    # training; the kernel default (16, 3) would truncate its large splats.
     render_jit = jax.jit(functools.partial(
-        render, depth_ratio=pipe.depth_ratio, backend=pipe.backend))
+        render, depth_ratio=pipe.depth_ratio, backend=pipe.backend,
+        raster_budget=(64, 12)))
     served = 0
     while max_frames is None or served < max_frames:
         if gui.conn is None:

@@ -104,3 +104,15 @@ def test_training_with_dino_loss(tmp_path, blender_scene, monkeypatch):
     dino = [float(r["dino_loss"]) for r in rows]
     assert any(d != 0.0 for d in dino), "DINO term never contributed"
     assert all(np.isfinite(d) for d in dino)
+
+
+def test_eval_budget_floors_at_train_budget():
+    """In-loop eval must never truncate harder than training: the eval
+    duplicate budget is the generous default floored elementwise at the
+    loop's current adaptive (max_dup, work_mult)."""
+    from gaussmart_tpu.train import eval_budget
+
+    assert eval_budget(None) == (64, 12)
+    assert eval_budget((16, 3)) == (64, 12)        # default already looser
+    assert eval_budget((128, 24)) == (128, 24)     # escalated scene
+    assert eval_budget((128, 6)) == (128, 12)      # elementwise max

@@ -71,3 +71,37 @@ def test_protocol_roundtrip():
     assert len(results["image"]) == 16 * 12 * 3
     assert results["verify"] == "/tmp/scene"
     assert results["metrics"]["#"] == 42
+
+
+def test_serve_gui_in_training_path():
+    """Drive train.py's _serve_gui end-to-end over loopback: camera request
+    -> jitted render at the loop's adaptive raster budget -> frame bytes."""
+    from gaussmart_tpu.config import ModelParams, PipelineParams
+    from gaussmart_tpu.models.gaussians import init_from_pcd
+    from gaussmart_tpu.train import _serve_gui
+
+    rng = np.random.default_rng(1)
+    state = init_from_pcd(rng.normal(size=(32, 3)).astype(np.float32),
+                          rng.random((32, 3)).astype(np.float32), None,
+                          max_sh_degree=1, spatial_lr_scale=1.0, capacity=64)
+
+    gui = NetworkGUI()
+    gui.init("127.0.0.1", 0)
+    port = gui.listener.getsockname()[1]
+    results = {}
+    t = threading.Thread(target=_client, args=(port, results))
+    t.start()
+    for _ in range(100):
+        gui.try_connect(["RGB"])
+        if gui.conn is not None:
+            break
+
+    dataset = ModelParams(source_path="/tmp/scene", white_background=False)
+    pipe = PipelineParams(backend="dense")
+    # keep_alive=True + iteration < max_iters: serve exactly one frame and
+    # return to training when the client disconnects
+    _serve_gui(gui, state, pipe, dataset, {"loss": 0.5}, iteration=10,
+               max_iters=100, raster_budget=(32, 6))
+    t.join(timeout=10)
+    assert len(results["image"]) == 16 * 12 * 3
+    assert results["metrics"]["#"] == 32
