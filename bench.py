@@ -39,6 +39,12 @@ def main():
     height = int(os.environ.get("BENCH_H", 584))
     iters = int(os.environ.get("BENCH_ITERS", 30))
     backend = os.environ.get("BENCH_BACKEND", "auto")
+    # Zero-drop duplicate budget for this scene (measured): the bench is an
+    # UNTRUNCATED CUDA-parity workload — every wanted (splat, tile) pair is
+    # composited, like the reference kernel. The trainer's adaptive budget
+    # would escalate to this config on this scene anyway.
+    budget = tuple(int(x) for x in
+                   os.environ.get("BENCH_BUDGET", "64,12").split(","))
 
     rng = np.random.default_rng(0)
     pts = np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),
@@ -70,13 +76,14 @@ def main():
            for _ in cams]
 
     if os.environ.get("BENCH_MODE", "train") == "render":
-        _bench_render(state, cam_params, width, height, iters, backend)
+        _bench_render(state, cam_params, width, height, iters, backend,
+                      budget)
         return
 
     opt = OptimizationParams()
     step = make_train_step(opt, sh_degree=3, white_background=False,
                            backend=backend, spatial_lr_scale=1.0,
-                           donate=True)
+                           donate=True, raster_budget=budget)
 
     params, adam, aux = state.params, init_adam(state.params), state.aux
     # warmup / compile
@@ -102,8 +109,10 @@ def main():
     }))
 
 
-def _bench_render(state, cam_params, width, height, iters, backend):
-    """Forward-render FPS (novel-view serving), vs a 30 FPS baseline."""
+def _bench_render(state, cam_params, width, height, iters, backend, budget):
+    """Forward-render FPS (novel-view serving), vs a 30 FPS baseline.
+    Untruncated (zero-drop budget): every wanted (splat, tile) pair is
+    composited, matching the CUDA reference workload."""
     import jax
     import jax.numpy as jnp
     from gaussmart_tpu.render.api import render
@@ -115,7 +124,8 @@ def _bench_render(state, cam_params, width, height, iters, backend):
         # eager ops round-trip the device per frame and no call is elided
         sc = state.params.scaling + prev[0, 0, 0] * 0.0
         st = state.replace(params=_dc.replace(state.params, scaling=sc))
-        return render(cam, st, jnp.zeros(3), backend=backend)["render"]
+        return render(cam, st, jnp.zeros(3), backend=backend,
+                      raster_budget=budget)["render"]
 
     fn = jax.jit(frame)
     img = fn(cam_params[0], jnp.zeros((3, height, width)))

@@ -696,7 +696,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
-             n_giants: int = 256, giant_dup: int = 240, work_mult: int = 3):
+             n_giants: int = 256, giant_dup: int | None = None,
+             work_mult: int = 3):
     """Duplicate-expand over 16x16 tiles and sort by a packed (tile|depth)
     int32 key into a per-tile K-aligned layout — with ONE sort and no
     scatter/compaction ops.
@@ -732,10 +733,17 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
     # Overflow pass (two-tier budget): the top `n_giants` splats by wanted
     # footprint get `max_dup + giant_dup` duplicate slots — the first
     # max_dup live in the dense [N, max_dup] tier-1 table, the remainder in
-    # a small [B, giant_dup] tier-2 table folded into the SAME sort. This
-    # bounds the post-opacity-reset / early-training truncation error
-    # (VERDICT r1 task 5; the CUDA reference never truncates,
-    # rasterize_points.cu) at ~8% extra sort entries.
+    # a small [B, giant_dup] tier-2 table folded into the SAME sort.
+    # giant_dup defaults to the full tile grid, making every tier-2 splat
+    # EXACT (a clipped footprint rect can never exceed n_tiles): near-camera
+    # splats that fog a whole view — e.g. white background sheets on
+    # white-bg scenes — rasterize with no tile truncation, like the CUDA
+    # reference (rasterize_points.cu duplicates into every touched tile).
+    # Only >n_giants simultaneous over-budget splats still truncate, and
+    # those surface in n_dropped, which drives the trainer's adaptive
+    # max_dup escalation.
+    if giant_dup is None:
+        giant_dup = n_tiles
     use_giants = n_giants > 0 and giant_dup > 0 and N > 1
     if use_giants:
         B = min(n_giants, N)
@@ -822,10 +830,12 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
     # it (only possible when the scene overflows 3N duplicates) are dropped
     # and counted. +K safety rows so the last tile's chunked DMA never runs
     # off the array.
-    # Tier-2 entries ride in the 3N budget's slack (typical real duplicate
-    # counts are well under 3N); a genuinely overflowing scene drops the
-    # deepest-keyed entries and counts them, exactly as before.
-    M_keep = min(_round_up(max(work_mult * N, 4096), K) + n_tiles * K,
+    # Tier-2 (giant) entries get their own statically-reserved budget on
+    # top: exactness for the top-n_giants footprints must not depend on
+    # slack in the work_mult*N budget.
+    g_budget = _round_up(min(n_giants, N) * giant_dup, K) if use_giants else 0
+    M_keep = min(_round_up(max(work_mult * N, 4096), K) + g_budget
+                 + n_tiles * K,
                  keys_all.shape[0])
     keys_k = jax.lax.slice(keys_s, (0,), (M_keep,))
     idx_k = jnp.where(keys_k >= BIG, N, jax.lax.slice(sidx_s, (0,), (M_keep,)))
@@ -1083,7 +1093,7 @@ def _maps_to_fb(maps, order, tiles_x, tiles_y):
 
 def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
                     *, max_dup: int = 16, n_giants: int = 256,
-                    giant_dup: int = 240, work_mult: int = 3,
+                    giant_dup: int | None = None, work_mult: int = 3,
                     interpret: bool | None = None,
                     need_dist_grad: bool = True, need_med_grad: bool = True,
                     init_state: Dict[str, jnp.ndarray] | None = None,

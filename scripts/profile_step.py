@@ -59,8 +59,11 @@ def build(mode: str):
     gts = [jnp.asarray(rng.random((3, height, width)), jnp.float32)
            for _ in cams]
     opt = OptimizationParams()
+    budget = tuple(int(x) for x in
+                   os.environ.get("BENCH_BUDGET", "64,12").split(","))
     step = make_train_step(opt, sh_degree=3, white_background=False,
-                           backend="auto", spatial_lr_scale=1.0, donate=False)
+                           backend="auto", spatial_lr_scale=1.0, donate=False,
+                           raster_budget=budget)
     return step, state, cams, gts
 
 

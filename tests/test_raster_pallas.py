@@ -306,3 +306,34 @@ def test_init_state_segment_compositing_matches_full(rng):
     for k, v in merged.items():
         np.testing.assert_allclose(np.asarray(v), np.asarray(full[k]),
                                    atol=1e-4, err_msg=k)
+
+
+def test_full_screen_giant_is_exact(rng):
+    """The tier-2 giant budget defaults to the full tile grid, so a splat
+    covering the whole frame (a near-camera background sheet) rasterizes
+    with NO tile truncation — exact vs the dense oracle, zero drops — even
+    at the tightest tier-1 budget (the CUDA reference never truncates)."""
+    cam = make_camera(width=128, height=128, fov=1.0)
+    # one whole-frame white sheet in front of a small textured scene
+    xyz, scales, quats, opac, shs, _ = make_scene(12, rng,
+                                                  depth_range=(3.0, 5.0))
+    xyz = jnp.concatenate([jnp.array([[0.0, 0.0, 0.5]]), xyz])
+    scales = jnp.concatenate([jnp.array([[2.0, 2.0]]), scales])
+    quats = jnp.concatenate([jnp.array([[1.0, 0.0, 0.0, 0.0]]), quats])
+    opac = jnp.concatenate([jnp.array([0.6]), opac])
+    shs = jnp.concatenate([jnp.asarray(rgb2sh(np.ones((1, 1, 3), np.float32))),
+                           shs])
+    n = xyz.shape[0]
+    prep = raster_common.preprocess(xyz, scales, quats, opac, shs,
+                                    jnp.ones(n, bool), cam.params(),
+                                    sh_degree=0)
+    means2d = jnp.zeros((n, 2))
+    bg = jnp.array([0.1, 0.2, 0.3])
+    ref = rasterize_pixels(prep, means2d, bg, 128, 128)
+    out = rasterize_tiled(prep, means2d, bg, 128, 128,
+                          max_dup=2, interpret=True)
+    assert int(out["n_dropped"]) == 0
+    np.testing.assert_allclose(np.asarray(out["image"]),
+                               np.asarray(ref["image"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["allmap"][1]),
+                               np.asarray(ref["allmap"][1]), atol=2e-5)

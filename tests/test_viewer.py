@@ -10,7 +10,9 @@ from gaussmart_tpu.viewer.protocol import NetworkGUI, image_to_bytes
 
 
 def _client(port, results):
-    s = socket.create_connection(("127.0.0.1", port), timeout=5)
+    # generous timeout: in a full-suite run the server's first frame waits
+    # on a jit compile that can exceed several seconds on a loaded CPU
+    s = socket.create_connection(("127.0.0.1", port), timeout=120)
     # 1) receive render items
     n = struct.unpack("I", s.recv(4))[0]
     items = json.loads(s.recv(n).decode())
@@ -102,6 +104,6 @@ def test_serve_gui_in_training_path():
     # return to training when the client disconnects
     _serve_gui(gui, state, pipe, dataset, {"loss": 0.5}, iteration=10,
                max_iters=100, raster_budget=(32, 6))
-    t.join(timeout=10)
+    t.join(timeout=120)
     assert len(results["image"]) == 16 * 12 * 3
     assert results["metrics"]["#"] == 32
