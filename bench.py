@@ -40,11 +40,12 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 30))
     backend = os.environ.get("BENCH_BACKEND", "auto")
     # Zero-drop duplicate budget for this scene (measured): the bench is an
-    # UNTRUNCATED CUDA-parity workload — every wanted (splat, tile) pair is
-    # composited, like the reference kernel. The trainer's adaptive budget
-    # would escalate to this config on this scene anyway.
+    # UNTRUNCATED CUDA-parity workload — every wanted (splat, tile) pair
+    # (1.252M) is composited, like the reference kernel. (32,6) = 14N work
+    # slots is exactly where the trainer's adaptive escalation lands on
+    # this scene (7N drops >1%, 14N reaches zero drops).
     budget = tuple(int(x) for x in
-                   os.environ.get("BENCH_BUDGET", "64,12").split(","))
+                   os.environ.get("BENCH_BUDGET", "32,6").split(","))
 
     rng = np.random.default_rng(0)
     pts = np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),

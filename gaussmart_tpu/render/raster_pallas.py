@@ -5,11 +5,12 @@ the behavioral mirror of reference kernel N1 — SURVEY.md §2.2) with the
 CUDA tile pipeline re-designed around the TPU's (8,128) vector registers:
 
   XLA stage (vectorized, fused):
-    1. expand each splat into (tile, depth, splat) duplicates over its
-       16x16-tile bounding rect (fixed per-splat budget);
-    2. compact the valid duplicates (one cumsum+scatter) and sort a tight
-       ~3N work budget by a single packed int32 (tile | quantized-depth)
-       key — the XLA replacement for the CUDA radix sort;
+    1. map a static W-slot work buffer to (splat, duplicate) pairs with a
+       binary search over cumsum(footprint-rect tile counts) — every splat
+       gets its FULL clipped rect (CUDA duplication semantics, no per-splat
+       cap), compaction with no scatter;
+    2. sort once by a single packed int32 (tile | quantized-depth) key —
+       the XLA replacement for the CUDA radix sort;
     3. K-align per-tile ranges so kernel DMA windows never cross tiles;
        gather splat attributes into a row-per-entry [M, 128] blob.
 
@@ -696,17 +697,46 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
-             n_giants: int = 256, giant_dup: int | None = None,
+             n_giants: int = 0, giant_dup: int | None = None,
              work_mult: int = 3):
     """Duplicate-expand over 16x16 tiles and sort by a packed (tile|depth)
     int32 key into a per-tile K-aligned layout — with ONE sort and no
     scatter/compaction ops.
 
-    The trick replacing the former nonzero-compaction + rank/scatter
-    pipeline (which cost ~22 ms/step in gathers and TPU scatters): append
-    exactly K filler entries per tile whose key is the tile's maximum depth
-    quantile (real entries are clamped one below it). After the stable sort,
-    every tile's run is [real entries..., K fillers...], so
+    Compacted expansion: a static work buffer of W entry slots is mapped
+    straight to (splat, duplicate) pairs — slot m belongs to the splat
+    whose cumulative want range contains m. Every splat therefore gets its
+    FULL clipped footprint rect (the CUDA duplication semantics,
+    rasterize_points.cu — no per-splat cap, no skirt truncation) as long
+    as the scene's total wants fit W; overflow drops the trailing splats'
+    entries and reports them in n_dropped, which drives the trainer's
+    adaptive budget escalation. This replaces the former dense
+    [N, max_dup] tier table (+ giant-splat overflow tiers), whose
+    budget-sized — not want-sized — sort input cost 24+19 ms/step at the
+    zero-drop budget on the 100k north-star scene.
+
+    The slot->splat rank-select runs as a PARITY-MERGE SORT, the only
+    TPU-fast primitive for it (measured on v5e: one 1.5M int32 sort = 4 ms
+    vs 161 ms for vectorized binary search — 17 serial gather passes — and
+    279 ms for a single 100k scatter): sort ONE int32 array holding marker
+    keys 2*min(cum_prev, W) (per splat, even) and slot keys 2m+1 (odd).
+    Markers enter pre-sorted and stable-tie before their first slot, so
+    after the sort the r-th marker IS splat r and parity recovers identity
+    with no payload: s = cumsum(is_marker) - 1, m = p - s - 1. Per-splat
+    attributes then arrive in ONE row-gather from a packed [N, 8] int32
+    table (row gathers are ~6x cheaper than per-column gathers).
+
+    W = max(N, 1024)*(max_dup//4 + work_mult): the (max_dup, work_mult)
+    budget pair keeps its external meaning (one escalating dial — the
+    trainer doubles both in lockstep, mesh/eval paths floor it) while the
+    sort input stays proportional to the actual duplicate budget.
+    NOTE: cumsum(n_want) is int32 — total wanted (splat, tile) pairs must
+    stay below 2^31, which the trainer's 48M-key cap guarantees.
+
+    Filler trick (unchanged): append exactly K filler entries per tile
+    whose key is the tile's maximum depth quantile (real entries are
+    clamped one below it). After the stable sort, every tile's run is
+    [real entries..., K fillers...], so
       * the sorted payload IS the final index array,
       * tile t's chunked DMA windows [start_t, start_t + ceil(count_t/K)*K)
         stay disjoint from tile t+1's region (at most K rows of padding are
@@ -714,8 +744,12 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
         on,
       * starts/counts drop out of two searchsorted calls.
 
+    `n_giants`/`giant_dup` are accepted for API compatibility and ignored
+    (the tier scheme they configured no longer exists).
+
     Returns (padded_idx [M_pad] int32 splat indices (N = dummy),
-             starts [n_tiles], counts [n_tiles], n_dropped)."""
+             starts [n_tiles], counts [n_tiles], order, n_dropped)."""
+    del n_giants, giant_dup
     N = prep.depth.shape[0]
     n_tiles = tiles_x * tiles_y
     cx, cy = prep.center2d[:, 0], prep.center2d[:, 1]
@@ -730,58 +764,15 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
     ny = jnp.where(valid, ty1 - ty0, 0)
     n_want = nx * ny
 
-    # Overflow pass (two-tier budget): the top `n_giants` splats by wanted
-    # footprint get `max_dup + giant_dup` duplicate slots — the first
-    # max_dup live in the dense [N, max_dup] tier-1 table, the remainder in
-    # a small [B, giant_dup] tier-2 table folded into the SAME sort.
-    # giant_dup defaults to the full tile grid, making every tier-2 splat
-    # EXACT (a clipped footprint rect can never exceed n_tiles): near-camera
-    # splats that fog a whole view — e.g. white background sheets on
-    # white-bg scenes — rasterize with no tile truncation, like the CUDA
-    # reference (rasterize_points.cu duplicates into every touched tile).
-    # Only >n_giants simultaneous over-budget splats still truncate, and
-    # those surface in n_dropped, which drives the trainer's adaptive
-    # max_dup escalation.
-    if giant_dup is None:
-        giant_dup = n_tiles
-    use_giants = n_giants > 0 and giant_dup > 0 and N > 1
-    if use_giants:
-        B = min(n_giants, N)
-        top_vals, top_idx = jax.lax.top_k(n_want, B)
-        giant = jnp.zeros(N, bool).at[top_idx].set(top_vals > max_dup)
-        budget = jnp.where(giant, max_dup + giant_dup, max_dup)
-    else:
-        budget = jnp.full_like(n_want, max_dup)
-    n_dropped = jnp.maximum(n_want - budget, 0).sum()
-
-    # Splats whose footprint exceeds the budget keep a rect shrunk
-    # SYMMETRICALLY around their center tile (isotropic skirt truncation)
-    # rather than losing trailing tiles in raster order.
-    over = n_want > budget
-    scale = jnp.sqrt(budget.astype(jnp.float32)
-                     / jnp.maximum(n_want, 1).astype(jnp.float32))
-    nx_c = jnp.where(over, jnp.maximum(
-        (nx.astype(jnp.float32) * scale).astype(jnp.int32), 1), nx)
-    ny_c = jnp.where(over, jnp.maximum(
-        (ny.astype(jnp.float32) * scale).astype(jnp.int32), 1), ny)
-    # continuous centering: round so the kept window straddles the center
-    # even when it sits at a tile boundary
-    tx0 = jnp.clip(jnp.round(cx / TILE - nx_c / 2.0).astype(jnp.int32),
-                   tx0, jnp.maximum(tx1 - nx_c, tx0))
-    ty0 = jnp.clip(jnp.round(cy / TILE - ny_c / 2.0).astype(jnp.int32),
-                   ty0, jnp.maximum(ty1 - ny_c, ty0))
-    nx, ny = nx_c, ny_c
-    n_want = nx * ny
-
-    j = jnp.arange(max_dup, dtype=jnp.int32)[None, :]            # [1,D]
-    nx_safe = jnp.maximum(nx, 1)[:, None]
-    dup_valid = (j < jnp.minimum(n_want, max_dup)[:, None])
-    tile = ((ty0[:, None] + j // nx_safe) * tiles_x
-            + (tx0[:, None] + j % nx_safe))
-    tile = jnp.where(dup_valid, tile, n_tiles)
-
-    sidx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None],
-                            tile.shape)
+    # N floored at 1024: tiny scenes (early training, unit tests) get slack
+    # far beyond their arena, and the floor SCALES with the budget pair so
+    # the trainer/mesh escalation reaches zero drops even when N is tiny
+    # but the splats are enormous (post-opacity-reset fog sheets)
+    W = max(N, 1024) * max(max_dup // 4 + work_mult, 1)
+    cum = jnp.cumsum(n_want)                       # [N] int32
+    cum_prev = cum - n_want
+    total = cum[N - 1]
+    n_dropped = jnp.maximum(total - W, 0)
 
     # Pack (tile, quantized depth) into ONE int32 sort key: depth order
     # only matters within a tile, where the quantization is far below any
@@ -796,60 +787,51 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
     # which would leak the deepest splats into the next tile's key range.
     # Top quantile (2^db - 1) is reserved for the per-tile filler entries.
     dq = jnp.clip((dq * (1 << db)).astype(jnp.int32), 0, (1 << db) - 2)
-    packed = jnp.where(dup_valid, tile * (1 << db) + dq[:, None], 0)
     BIG = jnp.int32(n_tiles) * (1 << db)
-    packed = jnp.where(dup_valid & (tile < n_tiles), packed, BIG)
 
-    n_valid = dup_valid.reshape(-1).sum()
-    keys_flat = [packed.reshape(-1)]
-    sidx_flat = [sidx.reshape(-1)]
-    if use_giants:
-        # tier-2: duplicate slots [max_dup, max_dup+giant_dup) of each
-        # giant's (already centered/clamped) rect
-        jj = (jnp.arange(giant_dup, dtype=jnp.int32)[None, :] + max_dup)
-        g_nx = jnp.maximum(nx[top_idx], 1)[:, None]
-        g_valid = jj < n_want[top_idx][:, None]
-        g_tile = ((ty0[top_idx][:, None] + jj // g_nx) * tiles_x
-                  + (tx0[top_idx][:, None] + jj % g_nx))
-        g_packed = jnp.where(
-            g_valid & (g_tile < n_tiles),
-            g_tile * (1 << db) + dq[top_idx][:, None], BIG)
-        keys_flat.append(g_packed.reshape(-1))
-        sidx_flat.append(jnp.broadcast_to(top_idx[:, None],
-                                          g_tile.shape).reshape(-1))
-        n_valid = n_valid + g_valid.reshape(-1).sum()
+    # --- parity-merge rank-select (see module docstring) -------------------
+    P = W + N
+    mk = 2 * jnp.minimum(cum_prev, W)              # [N] even marker keys
+    sk = 2 * jnp.arange(W, dtype=jnp.int32) + 1    # [W] odd slot keys
+    kA = jax.lax.sort(jnp.concatenate([mk, sk]))   # [P]
+    is_marker = (kA & 1) == 0
+    s = jnp.cumsum(is_marker.astype(jnp.int32)) - 1  # [P] splat id (>=0)
+    m = jnp.arange(P, dtype=jnp.int32) - s - 1       # slot id at slot rows
+
+    # one row-gather for all per-splat attributes
+    tab = jnp.stack([cum_prev, nx, tx0, ty0, dq, n_want], axis=1)  # [N, 6]
+    g = tab[jnp.clip(s, 0, N - 1)]                                 # [P, 6]
+    j = m - g[:, 0]                                # duplicate index in rect
+    nx_s = g[:, 1]
+    live = (~is_marker) & (j >= 0) & (j < g[:, 5])
+    # row = j // nx, col = j % nx without integer division (VPU int div is
+    # a long op sequence): (j+0.5)/nx is never within 0.5/nx of an integer,
+    # and the f32 reciprocal-multiply error is < 2^-21 * j, so the floor is
+    # exact for j < 2^20.
+    recip = 1.0 / jnp.maximum(nx_s, 1).astype(jnp.float32)
+    row = jnp.floor((j.astype(jnp.float32) + 0.5) * recip).astype(jnp.int32)
+    col = j - row * nx_s
+    tile = (g[:, 3] + row) * tiles_x + (g[:, 2] + col)
+
+    packed = jnp.where(live, tile * (1 << db) + g[:, 4], BIG)
+    sidx = jnp.where(live, s, N)
 
     tids = jnp.arange(n_tiles, dtype=jnp.int32)
     filler_keys = jnp.repeat(tids, K) * (1 << db) + ((1 << db) - 1)
-    keys_all = jnp.concatenate(keys_flat + [filler_keys])
+    keys_all = jnp.concatenate([packed, filler_keys])
     sidx_all = jnp.concatenate(
-        sidx_flat + [jnp.full((n_tiles * K,), N, jnp.int32)])
+        [sidx, jnp.full((n_tiles * K,), N, jnp.int32)])
     keys_s, sidx_s = jax.lax.sort((keys_all, sidx_all), num_keys=1)
 
-    # Keep a ~3N real-entry work budget (+ the fillers); real entries past
-    # it (only possible when the scene overflows 3N duplicates) are dropped
-    # and counted. +K safety rows so the last tile's chunked DMA never runs
-    # off the array.
-    # Tier-2 (giant) entries get their own statically-reserved budget on
-    # top: exactness for the top-n_giants footprints must not depend on
-    # slack in the work_mult*N budget.
-    g_budget = _round_up(min(n_giants, N) * giant_dup, K) if use_giants else 0
-    M_keep = min(_round_up(max(work_mult * N, 4096), K) + g_budget
-                 + n_tiles * K,
-                 keys_all.shape[0])
-    keys_k = jax.lax.slice(keys_s, (0,), (M_keep,))
-    idx_k = jnp.where(keys_k >= BIG, N, jax.lax.slice(sidx_s, (0,), (M_keep,)))
+    # +K safety rows so the last tile's chunked DMA never runs off the array
+    idx_k = jnp.where(keys_s >= BIG, N, sidx_s)
     padded_idx = jnp.concatenate([idx_k, jnp.full((K,), N, jnp.int32)])
 
-    starts = jnp.searchsorted(keys_k, tids * (1 << db),
+    starts = jnp.searchsorted(keys_s, tids * (1 << db),
                               side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(keys_k, tids * (1 << db) + ((1 << db) - 1),
+    ends = jnp.searchsorted(keys_s, tids * (1 << db) + ((1 << db) - 1),
                             side="left").astype(jnp.int32)
     counts = ends - starts
-    # Real entries past the keep (counted via per-tile kept counts, so the
-    # truncated tail's FILLER rows don't inflate the drop signal that
-    # drives the trainer's adaptive budget growth).
-    n_dropped = n_dropped + (n_valid - counts.sum())
     # Load-balanced stream packing: programs own 4 tiles of SIMILAR entry
     # count (sorted consecutive grouping), so the per-program step count
     # (max over its streams) stays close to the mean instead of the max of
@@ -1104,12 +1086,14 @@ def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
     the loss never reads rend_dist / the median part of surf_depth, e.g. the
     default recipe's lambda_dist=0, depth_ratio=0 — BASELINE.md).
 
-    `max_dup`/`work_mult` set the duplicate budget (per-splat tile cap and
-    the global work_mult*N sort keep): late-training states whose splats
-    have grown to cover smooth regions can want far more than the default
-    3N duplicates — the trainer grows these when `n_dropped` stays high,
-    and inference paths pass a generous budget up front (the CUDA
-    reference never truncates).
+    `max_dup`/`work_mult` set the GLOBAL duplicate budget
+    W = N*(max_dup//4 + work_mult) entry slots (see _binning — there is no
+    per-splat cap; every splat keeps its full footprint rect while total
+    wants fit W): late-training states whose splats have grown to cover
+    smooth regions can want far more than the default 7N duplicates — the
+    trainer grows the budget when `n_dropped` stays high, and inference
+    paths pass a generous budget up front (the CUDA reference never
+    truncates).
 
     `init_state` (flat [H*W] "T"/"M1"/"M2", same contract as
     rasterize_pixels) seeds the per-pixel compositing state so a depth-

@@ -60,7 +60,7 @@ def build(mode: str):
            for _ in cams]
     opt = OptimizationParams()
     budget = tuple(int(x) for x in
-                   os.environ.get("BENCH_BUDGET", "64,12").split(","))
+                   os.environ.get("BENCH_BUDGET", "32,6").split(","))
     step = make_train_step(opt, sh_degree=3, white_background=False,
                            backend="auto", spatial_lr_scale=1.0, donate=False,
                            raster_budget=budget)
@@ -145,7 +145,7 @@ def main():
         name = e.get("name", "")
         dur = e.get("dur", 0) / 1e3  # ms
         # collapse xla op name: strip .NNN suffixes and fusion ids
-        base = name.split(".")[0]
+        base = name if os.environ.get("PROFILE_FULL") else name.split(".")[0]
         buckets[base] += dur
         counts[base] += 1
         total += dur
