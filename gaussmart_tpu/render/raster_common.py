@@ -42,6 +42,8 @@ class Preprocessed(NamedTuple):
     color: jnp.ndarray        # [N,3] RGB
     opacity: jnp.ndarray      # [N] in [0,1]
     valid: jnp.ndarray        # [N] bool
+    rx: jnp.ndarray           # [N] tight per-axis half-extent (px, 0 = culled)
+    ry: jnp.ndarray           # [N] tight per-axis half-extent (px, 0 = culled)
 
 
 def _ndc2pix_cols(width: int, height: int) -> jnp.ndarray:
@@ -114,6 +116,50 @@ def preprocess(
     valid = (active & (z_view > NEAR_PLANE) & (jnp.abs(dist) >= 1e-12) & on_screen)
     radius = jnp.where(valid, radius, 0.0)
 
+    # Tight per-axis footprint for binning, EXACT w.r.t. the compositor's
+    # per-pixel skip: alpha = o*exp(-rho/2) with rho = min(rho3d, rho2d)
+    # falls below ALPHA_EPS wherever rho > c_cut = 2*ln(o/ALPHA_EPS), so a
+    # tile outside BOTH the rho3d<=c_cut level conic AND the rho2d<=c_cut
+    # disc (radius sqrt(c_cut/2); FILTER_INV_SQUARE=2) composites exactly
+    # zero everywhere. The level conic's AABB comes from the SAME dual-conic
+    # identity as (cx, ext): u^2+v^2=c pulled to pixels has dual
+    # T^T diag(1,1,-1/c) T — the projective level sets are NOT concentric,
+    # so sqrt(c)*ext would be wrong; this is the exact c-level AABB (its
+    # center shifts off (cx, cy); we keep a symmetric bound around the
+    # binning center). Everything is clipped to the reference's isotropic
+    # 3-sigma square so tiles the square would CUT stay cut:
+    # rasterize_tiled's output is bit-identical to binning with `radius`,
+    # just without the zero-contribution (splat, tile) pairs (the CUDA
+    # reference pays for those; rasterize_points.cu bins the full square).
+    # o <= ALPHA_EPS makes the footprint empty: such a splat composites
+    # nowhere and receives zero gradient either way.
+    c_cut = 2.0 * jnp.log(jnp.maximum(opacities, 1e-12) / ALPHA_EPS)
+    inv_c = 1.0 / jnp.maximum(c_cut, 1e-12)
+    dist_c = Tw[:, 0] ** 2 + Tw[:, 1] ** 2 - Tw[:, 2] ** 2 * inv_c
+    safe_dc = jnp.where(jnp.abs(dist_c) < 1e-12, 1.0, dist_c)
+    cx_c = (Tu[:, 0] * Tw[:, 0] + Tu[:, 1] * Tw[:, 1]
+            - Tu[:, 2] * Tw[:, 2] * inv_c) / safe_dc
+    cy_c = (Tv[:, 0] * Tw[:, 0] + Tv[:, 1] * Tw[:, 1]
+            - Tv[:, 2] * Tw[:, 2] * inv_c) / safe_dc
+    su_c = (Tu[:, 0] ** 2 + Tu[:, 1] ** 2 - Tu[:, 2] ** 2 * inv_c) / safe_dc
+    sv_c = (Tv[:, 0] ** 2 + Tv[:, 1] ** 2 - Tv[:, 2] ** 2 * inv_c) / safe_dc
+    ex2 = cx_c * cx_c - su_c
+    ey2 = cy_c * cy_c - sv_c
+    # well-conditioned ellipse only (same orientation as the 1-level conic);
+    # anything degenerate falls back to the full square
+    good = ((jnp.abs(dist_c) >= 1e-12) & (dist_c * safe_dist > 0)
+            & (ex2 >= 0) & (ey2 >= 0))
+    extc_x = jnp.sqrt(jnp.maximum(ex2, 0.0))
+    extc_y = jnp.sqrt(jnp.maximum(ey2, 0.0))
+    r2d = jnp.sqrt(jnp.maximum(c_cut, 0.0) * 0.5)
+    tx = jnp.maximum(jnp.abs(cx_c - cx) + extc_x, r2d)
+    ty = jnp.maximum(jnp.abs(cy_c - cy) + extc_y, r2d)
+    rx = jnp.minimum(radius, jnp.ceil(jnp.where(good, tx, radius)))
+    ry = jnp.minimum(radius, jnp.ceil(jnp.where(good, ty, radius)))
+    tight_ok = valid & (c_cut > 0.0)
+    rx = jnp.where(tight_ok, rx, 0.0)
+    ry = jnp.where(tight_ok, ry, 0.0)
+
     # Color: SH evaluated toward the camera (in-kernel convert, as the CUDA
     # path does when shs are passed — gaussian_renderer/__init__.py:92-93).
     if override_color is None:
@@ -140,6 +186,8 @@ def preprocess(
         color=color,
         opacity=opacities * valid.astype(opacities.dtype),
         valid=valid,
+        rx=rx,
+        ry=ry,
     )
 
 

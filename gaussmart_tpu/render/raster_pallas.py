@@ -753,13 +753,15 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
     N = prep.depth.shape[0]
     n_tiles = tiles_x * tiles_y
     cx, cy = prep.center2d[:, 0], prep.center2d[:, 1]
-    r = prep.radius
-    valid = prep.valid & (r > 0)
+    # tight opacity-aware per-axis footprint (see preprocess: EXACT — every
+    # tile it cuts relative to the isotropic `radius` square composites zero)
+    rx, ry = prep.rx, prep.ry
+    valid = prep.valid & (rx > 0) & (ry > 0)
 
-    tx0 = jnp.clip(jnp.floor((cx - r) / TILE), 0, tiles_x).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.floor((cx + r) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor((cy - r) / TILE), 0, tiles_y).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.floor((cy + r) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
+    tx0 = jnp.clip(jnp.floor((cx - rx) / TILE), 0, tiles_x).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((cx + rx) / TILE) + 1, 0, tiles_x).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((cy - ry) / TILE), 0, tiles_y).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((cy + ry) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
     nx = jnp.where(valid, tx1 - tx0, 0)
     ny = jnp.where(valid, ty1 - ty0, 0)
     n_want = nx * ny

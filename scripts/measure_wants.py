@@ -76,13 +76,14 @@ def main():
                 jnp.asarray(state.aux.active), cp, args.sh_degree)
             tiles_x = (cp.width + TILE - 1) // TILE
             tiles_y = (cp.height + TILE - 1) // TILE
-            r = np.asarray(prep.radius)
+            rx = np.asarray(prep.rx)
+            ry = np.asarray(prep.ry)
             cx, cy = np.asarray(prep.center2d).T
-            val = np.asarray(prep.valid) & (r > 0)
-            tx0 = np.clip(np.floor((cx - r) / TILE), 0, tiles_x)
-            tx1 = np.clip(np.floor((cx + r) / TILE) + 1, 0, tiles_x)
-            ty0 = np.clip(np.floor((cy - r) / TILE), 0, tiles_y)
-            ty1 = np.clip(np.floor((cy + r) / TILE) + 1, 0, tiles_y)
+            val = np.asarray(prep.valid) & (rx > 0) & (ry > 0)
+            tx0 = np.clip(np.floor((cx - rx) / TILE), 0, tiles_x)
+            tx1 = np.clip(np.floor((cx + rx) / TILE) + 1, 0, tiles_x)
+            ty0 = np.clip(np.floor((cy - ry) / TILE), 0, tiles_y)
+            ty1 = np.clip(np.floor((cy + ry) / TILE) + 1, 0, tiles_y)
             want = np.where(val, (tx1 - tx0) * (ty1 - ty0), 0)
             totals.append(want.sum())
             ratios.append(want.sum() / max(n_active, 1))

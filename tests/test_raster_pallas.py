@@ -192,15 +192,16 @@ def test_budget_overflow_drops_are_counted(rng):
                               spread=0.4, depth_range=(1.5, 4.0))
     n = prep.depth.shape[0]
     means2d = jnp.zeros((n, 2))
-    # count the wants straight from the clipped footprint rects
-    r = np.asarray(prep.radius).astype(np.float64)
+    # count the wants straight from the clipped tight footprint rects
+    rx = np.asarray(prep.rx).astype(np.float64)
+    ry = np.asarray(prep.ry).astype(np.float64)
     cx, cy = np.asarray(prep.center2d).T
     tiles_x = tiles_y = 2 * ((size + 31) // 32)
-    val = np.asarray(prep.valid) & (r > 0)
-    nx = np.clip(np.floor((cx + r) / 16) + 1, 0, tiles_x) - np.clip(
-        np.floor((cx - r) / 16), 0, tiles_x)
-    ny = np.clip(np.floor((cy + r) / 16) + 1, 0, tiles_y) - np.clip(
-        np.floor((cy - r) / 16), 0, tiles_y)
+    val = np.asarray(prep.valid) & (rx > 0) & (ry > 0)
+    nx = np.clip(np.floor((cx + rx) / 16) + 1, 0, tiles_x) - np.clip(
+        np.floor((cx - rx) / 16), 0, tiles_x)
+    ny = np.clip(np.floor((cy + ry) / 16) + 1, 0, tiles_y) - np.clip(
+        np.floor((cy - ry) / 16), 0, tiles_y)
     total = int((np.where(val, nx, 0) * np.where(val, ny, 0)).sum())
     W = max(n, 1024) * 3                      # max_dup=0, work_mult=3
     assert total > W, f"scene must overflow the test budget ({total})"
@@ -356,3 +357,85 @@ def test_full_screen_giant_is_exact(rng):
                                np.asarray(ref["image"]), atol=2e-5)
     np.testing.assert_allclose(np.asarray(out["allmap"][1]),
                                np.asarray(ref["allmap"][1]), atol=2e-5)
+
+
+def test_tight_footprint_is_exact(rng):
+    """The opacity-aware per-axis footprint (prep.rx/ry) must produce
+    BIT-IDENTICAL output to binning with the reference's isotropic 3-sigma
+    square (rx = ry = radius): every (splat, tile) pair it culls has
+    alpha < ALPHA_EPS at every pixel of the tile. Scene stresses the cull:
+    translucent splats (strong radius shrink), near-eps opacities, sub-eps
+    opacities (empty footprint), and eccentric anisotropic splats."""
+    cam = make_camera(width=96, height=64)
+    n = 48
+    xyz, scales, quats, opac, shs, _ = make_scene(
+        n, rng, spread=0.7, scale=0.35)
+    # eccentric surfels + a wide opacity mix (all above ALPHA_EPS so the
+    # binning-valid set — and with it the depth-quantization range — is
+    # identical between the two runs; sub-eps culling is covered below)
+    scales = scales.at[:, 0].mul(jnp.asarray(
+        rng.uniform(0.05, 1.0, n), jnp.float32))
+    opac = jnp.asarray(np.concatenate([
+        rng.uniform(0.006, 0.02, n // 4),          # near eps
+        rng.uniform(0.02, 0.2, n // 4),            # translucent
+        rng.uniform(0.5, 0.99, n - 2 * (n // 4)),  # opaque
+    ]).astype(np.float32))
+    prep = raster_common.preprocess(xyz, scales, quats, opac, shs,
+                                    jnp.ones(n, bool), cam.params(),
+                                    sh_degree=0)
+    # tight extents never exceed the square, and shrink somewhere
+    assert np.all(np.asarray(prep.rx) <= np.asarray(prep.radius))
+    assert np.all(np.asarray(prep.ry) <= np.asarray(prep.radius))
+    assert (np.asarray(prep.rx) < np.asarray(prep.radius)).any()
+
+    means2d = jnp.zeros((n, 2))
+    bg = jnp.array([0.3, 0.1, 0.6])
+    out_tight = rasterize_tiled(prep, means2d, bg, cam.width, cam.height,
+                                interpret=True)
+    square = prep._replace(rx=prep.radius, ry=prep.radius)
+    out_square = rasterize_tiled(square, means2d, bg, cam.width, cam.height,
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_tight["image"]),
+                                  np.asarray(out_square["image"]))
+    np.testing.assert_array_equal(np.asarray(out_tight["allmap"]),
+                                  np.asarray(out_square["allmap"]))
+
+    # gradients are identical too (culled pairs contributed zero gradient)
+    def loss_of(base, T, c2d, op, col):
+        p = base._replace(T=T, center2d=c2d, opacity=op, color=col)
+        o = rasterize_tiled(p, means2d, bg, cam.width, cam.height,
+                            interpret=True)
+        return jnp.sum(o["image"] ** 2) + jnp.sum(o["allmap"][:5])
+
+    diff = (prep.T, prep.center2d, prep.opacity, prep.color)
+    g_t = jax.grad(loss_of, argnums=(1, 2, 3, 4))(prep, *diff)
+    g_s = jax.grad(loss_of, argnums=(1, 2, 3, 4))(square, *diff)
+    for a, b in zip(g_t, g_s):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sub_eps_opacity_splat_has_empty_footprint(rng):
+    """A splat with opacity <= ALPHA_EPS gets rx = ry = 0 (alpha < eps at
+    EVERY pixel, so it composites nowhere and receives no gradient) and
+    rendering is bit-identical to deactivating it outright."""
+    cam = make_camera(width=64, height=32)
+    n = 10
+    xyz, scales, quats, opac, shs, _ = make_scene(n, rng, scale=0.3)
+    opac = opac.at[3].set(0.003).at[7].set(1.0 / 255.0)   # <= ALPHA_EPS
+    active = jnp.ones(n, bool)
+    prep = raster_common.preprocess(xyz, scales, quats, opac, shs, active,
+                                    cam.params(), sh_degree=0)
+    assert float(prep.rx[3]) == 0.0 and float(prep.ry[7]) == 0.0
+    prep_off = raster_common.preprocess(
+        xyz, scales, quats, opac, shs,
+        active.at[3].set(False).at[7].set(False), cam.params(), sh_degree=0)
+    means2d = jnp.zeros((n, 2))
+    bg = jnp.array([0.2, 0.2, 0.2])
+    a = rasterize_tiled(prep, means2d, bg, cam.width, cam.height,
+                        interpret=True)
+    b = rasterize_tiled(prep_off, means2d, bg, cam.width, cam.height,
+                        interpret=True)
+    np.testing.assert_array_equal(np.asarray(a["image"]),
+                                  np.asarray(b["image"]))
+    np.testing.assert_array_equal(np.asarray(a["allmap"]),
+                                  np.asarray(b["allmap"]))
