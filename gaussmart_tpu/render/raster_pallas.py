@@ -316,6 +316,17 @@ def _make_fwd_kernel(tiles_x: int, with_init: bool = False):
                     pltpu.make_async_copy(
                         blob_ref.at[pl.ds(starts[s] + c * K, K), :],
                         chunk.at[slot, :, s, :], sems.at[slot, s]).wait()
+                # A stream exhausted before the group's longest one skips
+                # this chunk's DMA, but the entry loop still reads the whole
+                # [STREAMS, F_PAD] block: zero its scratch slot so the
+                # `w * fld(i)` products see finite data. `w` is masked to
+                # exact 0 for these entries, but 0 * uninitialized VMEM is
+                # NaN whenever the leftover bits are non-finite —
+                # deterministic NaN under interpret, latent UB on real TPU
+                # (empty tiles are the common case in sparse scenes).
+                @pl.when(c >= chunks_s[s])
+                def _(s=s):
+                    chunk[slot, :, s, :] = jnp.zeros((K, F_PAD), jnp.float32)
 
         @pl.when(n_chunks > 0)
         def _():
@@ -515,6 +526,16 @@ def _make_bwd_kernel(tiles_x: int, need_dist: bool, need_med: bool,
                     pltpu.make_async_copy(
                         blob_ref.at[pl.ds(starts[s] + c * K, K), :],
                         chunk.at[slot, :, s, :], sems.at[slot, s]).wait()
+                # Same uninitialized-scratch hazard as the forward: the
+                # reverse walk starts at the group's max chunk, so a shorter
+                # stream's slot is read-before-written for c >= n_rel[s].
+                # Its garbage never reaches HBM (out-DMAs carry the same
+                # gate and _reduce_block keeps streams in separate rows),
+                # but NaNs flowing through _geom_manual_bwd on skipped
+                # streams are UB we refuse to rely on — zero the slot.
+                @pl.when(c >= n_rel[s])
+                def _(s=s):
+                    chunk[slot, :, s, :] = jnp.zeros((K, F_PAD), jnp.float32)
 
         # Rows in chunks the reverse walk never reaches ([n_rel[s], ...))
         # stay zero via the XLA-side zero buffer aliased into grad_ref; the
