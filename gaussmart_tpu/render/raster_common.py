@@ -44,6 +44,13 @@ class Preprocessed(NamedTuple):
     valid: jnp.ndarray        # [N] bool
     rx: jnp.ndarray           # [N] tight per-axis half-extent (px, 0 = culled)
     ry: jnp.ndarray           # [N] tight per-axis half-extent (px, 0 = culled)
+    ell: jnp.ndarray          # [N,5] centered/normalized c_cut-level conic
+    #                           (A, B, C, ccx, ccy): the splat contributes
+    #                           (rho3d <= c_cut) exactly where
+    #                           A dx^2 + B dx dy + C dy^2 - 1 <= 0 with
+    #                           (dx, dy) = pixel - (ccx, ccy). A=B=C=0 means
+    #                           "no usable ellipse" (degenerate/hyperbolic or
+    #                           invalid splat): treat every tile as live.
 
 
 def _ndc2pix_cols(width: int, height: int) -> jnp.ndarray:
@@ -160,6 +167,51 @@ def preprocess(
     rx = jnp.where(tight_ok, rx, 0.0)
     ry = jnp.where(tight_ok, ry, 0.0)
 
+    # Exact c_cut-level conic of rho3d in pixel space, for per-(splat, tile)
+    # culling in the Pallas binning (_binning). Built from the SAME dual-conic
+    # identity as the tight AABB above — center (cx_c, cy_c) and the 2x2
+    # support matrix P with h(d) = d.center + sqrt(d^T P d), so the level set
+    # is the ellipse {z : (z - center)^T P^-1 (z - center) <= 1}, i.e.
+    # P_xx = cx_c^2 - su_c (= ext_x^2), P_yy = cy_c^2 - sv_c, and
+    # P_xy = cx_c*cy_c - suv_c. This route needs only quadratic products of T
+    # plus one 2x2 inversion; the direct adjugate route (ran here first)
+    # needs quartic products whose f32 cancellation mis-sized real ellipses
+    # by >2x (tests/test_conic_cull.py regression scene, splat 41). All
+    # quantities are computed in coordinates recentered at (cx, cy) so the
+    # products are footprint-sized, not image-sized. Safety gates (the cull
+    # may only ever KEEP too much): P must be positive definite with
+    # det >= 1e-4*trace^2 (caps the P^-1 relative error at ~2.4e-3, covered
+    # 8x by _binning's 2e-2 test margin; thinner ellipses fall back to the
+    # rect footprint) and the stored ellipse must contain the projected
+    # center (rho3d there is exactly 0). A = B = C = 0 marks "no usable
+    # ellipse": _binning keeps every tile of the rect.
+    Tuc = Tu - cx[:, None] * Tw
+    Tvc = Tv - cy[:, None] * Tw
+
+    def dotc(a, b):
+        return a[:, 0] * b[:, 0] + a[:, 1] * b[:, 1] - a[:, 2] * b[:, 2] * inv_c
+
+    exo = dotc(Tuc, Tw) / safe_dc      # conic center offset from (cx, cy)
+    eyo = dotc(Tvc, Tw) / safe_dc
+    pxx = exo * exo - dotc(Tuc, Tuc) / safe_dc
+    pxy = exo * eyo - dotc(Tuc, Tvc) / safe_dc
+    pyy = eyo * eyo - dotc(Tvc, Tvc) / safe_dc
+    detp = pxx * pyy - pxy * pxy
+    trp = pxx + pyy
+    is_ell = (good & (c_cut > 0.0) & (pxx > 0) & (pyy > 0)
+              & (detp > 1e-4 * trp * trp))
+    inv_det = jnp.where(is_ell, 1.0 / jnp.where(is_ell, detp, 1.0), 0.0)
+    eA = pyy * inv_det
+    eB = -2.0 * pxy * inv_det
+    eC = pxx * inv_det
+    # the projected center must satisfy the interior test (Q(-off) <= 1)
+    q_ctr = eA * exo * exo + eB * exo * eyo + eC * eyo * eyo
+    is_ell = is_ell & (q_ctr <= 1.0)
+    zero_bad = is_ell.astype(jnp.float32)
+    ell = jnp.stack([eA * zero_bad, eB * zero_bad, eC * zero_bad,
+                     cx + jnp.where(is_ell, exo, 0.0),
+                     cy + jnp.where(is_ell, eyo, 0.0)], axis=1)
+
     # Color: SH evaluated toward the camera (in-kernel convert, as the CUDA
     # path does when shs are passed — gaussian_renderer/__init__.py:92-93).
     if override_color is None:
@@ -188,6 +240,7 @@ def preprocess(
         valid=valid,
         rx=rx,
         ry=ry,
+        ell=ell,
     )
 
 

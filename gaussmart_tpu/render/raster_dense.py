@@ -51,7 +51,17 @@ def _exclusive_cumsum(x, axis=0):
 
 def _chunk_body(carry: Dict[str, jnp.ndarray], chunk: Dict[str, jnp.ndarray],
                 px: jnp.ndarray, py: jnp.ndarray, half_wh: jnp.ndarray):
-    """Composite one chunk of K depth-sorted splats over all P pixels."""
+    """Composite one chunk of K depth-sorted splats over all P pixels.
+
+    Includes the CUDA spatial cut (rasterize_points.cu getRect): a splat
+    composites only into pixels of 16x16 tiles inside its binned footprint
+    rect. This is NOT redundant with the alpha >= ALPHA_EPS skip: the rect
+    is clamped to the reference's ceil(3*sigma) radius square, while the
+    alpha cut reaches sqrt(2*ln(255*o)) sigma — up to 3.33*sigma for opaque
+    splats — so the annulus between them has alpha >= eps pixels the CUDA
+    kernel (and therefore the Pallas path, which bins the same rect) never
+    composites. Same f32 arithmetic as raster_pallas._binning so dense and
+    tiled outputs agree bit-for-bit on the pair set."""
     T9 = chunk["T"]              # [K,9] row-major splat->pixel transform
     K = T9.shape[0]
     # Columns of the 3x3 T: Tu (x coeffs), Tv (y coeffs), Tw (depth coeffs).
@@ -90,8 +100,24 @@ def _chunk_body(carry: Dict[str, jnp.ndarray], chunk: Dict[str, jnp.ndarray],
     rho = jnp.minimum(rho3d, rho2d)
     depth = jnp.where(use3d, depth3d, Tw[:, 2:3])
 
+    # tile-rect membership (binning mirror: tx0 = floor((cx-rx)/16),
+    # tx1 = floor((cx+rx)/16)+1, pairs exist only for valid & rx,ry > 0)
+    TILE = 16.0
+    cx_c = chunk["center"][:, 0:1]
+    cy_c = chunk["center"][:, 1:2]
+    rxk = chunk["rx"][:, None]
+    ryk = chunk["ry"][:, None]
+    tpx = jnp.floor(px * (1.0 / TILE))[None, :]
+    tpy = jnp.floor(py * (1.0 / TILE))[None, :]
+    in_rect = ((rxk > 0) & (ryk > 0)
+               & (tpx >= jnp.floor((cx_c - rxk) / TILE))
+               & (tpx <= jnp.floor((cx_c + rxk) / TILE))
+               & (tpy >= jnp.floor((cy_c - ryk) / TILE))
+               & (tpy <= jnp.floor((cy_c + ryk) / TILE)))
+
     alpha = jnp.minimum(ALPHA_MAX, chunk["opacity"][:, None] * jnp.exp(-0.5 * rho))
-    alpha = jnp.where((alpha >= ALPHA_EPS) & (depth >= NEAR_PLANE), alpha, 0.0)
+    alpha = jnp.where((alpha >= ALPHA_EPS) & (depth >= NEAR_PLANE) & in_rect,
+                      alpha, 0.0)
 
     # Front-to-back transmittance with the CUDA early-termination rule:
     # the splat that would push T below T_EPS is itself excluded.
@@ -209,6 +235,8 @@ def rasterize_pixels(
         "color": pad_gather(prep.color),
         "normal": pad_gather(prep.normal),
         "means2d": pad_gather(means2d),
+        "rx": pad_gather(jax.lax.stop_gradient(prep.rx)),
+        "ry": pad_gather(jax.lax.stop_gradient(prep.ry)),
     }
     chunks = {k: v.reshape((n_outer, n_inner, chunk) + v.shape[1:])
               for k, v in chunks.items()}

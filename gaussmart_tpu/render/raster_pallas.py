@@ -719,7 +719,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
              n_giants: int = 0, giant_dup: int | None = None,
-             work_mult: int = 3):
+             work_mult: int = 3, conic_cull: bool = True):
     """Duplicate-expand over 16x16 tiles and sort by a packed (tile|depth)
     int32 key into a per-tile K-aligned layout — with ONE sort and no
     scatter/compaction ops.
@@ -821,9 +821,17 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
     s = jnp.cumsum(is_marker.astype(jnp.int32)) - 1  # [P] splat id (>=0)
     m = jnp.arange(P, dtype=jnp.int32) - s - 1       # slot id at slot rows
 
-    # one row-gather for all per-splat attributes
-    tab = jnp.stack([cum_prev, nx, tx0, ty0, dq, n_want], axis=1)  # [N, 6]
-    g = tab[jnp.clip(s, 0, N - 1)]                                 # [P, 6]
+    # one row-gather for all per-splat attributes; float fields ride the
+    # int32 table bitcast so it stays ONE row-gather
+    cols = [cum_prev, nx, tx0, ty0, dq, n_want]
+    if conic_cull:
+        c_cut = 2.0 * jnp.log(jnp.maximum(prep.opacity, 1e-12) / ALPHA_EPS)
+        fcols = [prep.ell[:, 0], prep.ell[:, 1], prep.ell[:, 2],
+                 prep.ell[:, 3], prep.ell[:, 4], cx, cy, 0.5 * c_cut]
+        cols += [jax.lax.bitcast_convert_type(f.astype(jnp.float32),
+                                              jnp.int32) for f in fcols]
+    tab = jnp.stack(cols, axis=1)                                  # [N, 6|14]
+    g = tab[jnp.clip(s, 0, N - 1)]                                 # [P, ...]
     j = m - g[:, 0]                                # duplicate index in rect
     nx_s = g[:, 1]
     live = (~is_marker) & (j >= 0) & (j < g[:, 5])
@@ -835,6 +843,51 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
     row = jnp.floor((j.astype(jnp.float32) + 0.5) * recip).astype(jnp.int32)
     col = j - row * nx_s
     tile = (g[:, 3] + row) * tiles_x + (g[:, 2] + col)
+
+    if conic_cull:
+        # Exact-conservative per-pair cull: the pair contributes only where
+        # rho = min(rho3d, rho2d) <= c_cut, i.e. iff the tile's pixel rect
+        # meets the rho3d level ellipse (prep.ell, centered/normalized so
+        # interior is Q < 0 with footprint-sized coords) OR the rho2d filter
+        # disc (radius^2 = c_cut/2, FILTER_INV_SQUARE = 2). Rect-vs-ellipse
+        # is exact for a convex quadratic: interiors meet iff the ellipse
+        # center lies in the rect or min Q over some edge <= 0 (clamped-
+        # vertex evaluation). One-sided margins (2e-2 * |term| sums) keep it
+        # conservative: they cover the ~2.4e-3 worst-case relative error of
+        # the P^-1-built coefficients (raster_common.preprocess conditioning
+        # gate) 8x over, so a culled pair has alpha < ALPHA_EPS at EVERY
+        # pixel of its tile and removing it is a bit-level no-op for every
+        # output and gradient (cf. the tight-footprint contract above).
+        # Degenerate/hyperbolic conics store A=B=C=0 -> q = -1 -> kept.
+        fl = jax.lax.bitcast_convert_type(g[:, 6:14], jnp.float32)
+        eA, eB, eC, ccx, ccy, scx, scy, rd2 = [fl[:, i] for i in range(8)]
+        txf = (g[:, 2] + col).astype(jnp.float32) * TILE
+        tyf = (g[:, 3] + row).astype(jnp.float32) * TILE
+        ext = float(TILE - 1)
+        # filter-disc vs rect (pixel centers at integers)
+        qx = jnp.clip(scx, txf, txf + ext) - scx
+        qy = jnp.clip(scy, tyf, tyf + ext) - scy
+        live2d = qx * qx + qy * qy <= rd2 * (1.0 + 1e-5) + 1e-5
+        # ellipse vs rect in conic-centered coordinates
+        x0, y0 = txf - ccx, tyf - ccy
+        x1, y1 = x0 + ext, y0 + ext
+        center_in = (x0 <= 0) & (x1 >= 0) & (y0 <= 0) & (y1 >= 0)
+
+        def edge_hit(quad, other, e, lo, hi):
+            # fixed coord e on this edge; free coord t in [lo, hi]:
+            # min_t quad*t^2 + eB*e*t + (other*e^2 - 1) <= 0 (with margin)?
+            v = jnp.where(quad > 0,
+                          -0.5 * eB * e / jnp.where(quad > 0, quad, 1.0), 0.0)
+            t = jnp.clip(v, lo, hi)
+            const = other * e * e
+            q = quad * t * t + eB * e * t + const - 1.0
+            qa = (jnp.abs(quad) * t * t + jnp.abs(eB * e * t)
+                  + jnp.abs(const) + 1.0)
+            return q <= 2e-2 * qa
+
+        hit = (edge_hit(eC, eA, x0, y0, y1) | edge_hit(eC, eA, x1, y0, y1)
+               | edge_hit(eA, eC, y0, x0, x1) | edge_hit(eA, eC, y1, x0, x1))
+        live = live & (live2d | center_in | hit)
 
     packed = jnp.where(live, tile * (1 << db) + g[:, 4], BIG)
     sidx = jnp.where(live, s, N)
@@ -1102,7 +1155,7 @@ def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
                     interpret: bool | None = None,
                     need_dist_grad: bool = True, need_med_grad: bool = True,
                     init_state: Dict[str, jnp.ndarray] | None = None,
-                    return_raw: bool = False
+                    return_raw: bool = False, conic_cull: bool = True
                     ) -> Dict[str, jnp.ndarray]:
     """`need_dist_grad`/`need_med_grad=False` compile a specialized backward
     that skips the distortion / median-depth gradient paths (valid whenever
@@ -1145,7 +1198,7 @@ def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
     padded_idx, starts, counts, order, n_dropped = jax.lax.stop_gradient(
         _binning(prep, tiles_x, tiles_y, max_dup,
                  n_giants=n_giants, giant_dup=giant_dup,
-                 work_mult=work_mult))
+                 work_mult=work_mult, conic_cull=conic_cull))
 
     if init_state is None:
         maps = _raster_core(blob, padded_idx, starts, counts, order, tiles_x,
