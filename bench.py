@@ -40,12 +40,16 @@ def main():
     iters = int(os.environ.get("BENCH_ITERS", 30))
     backend = os.environ.get("BENCH_BACKEND", "auto")
     # Zero-drop duplicate budget for this scene (measured): the bench is an
-    # UNTRUNCATED CUDA-parity workload — every wanted (splat, tile) pair
-    # (1.252M) is composited, like the reference kernel. (32,6) = 14N work
-    # slots is exactly where the trainer's adaptive escalation lands on
-    # this scene (7N drops >1%, 14N reaches zero drops).
+    # UNTRUNCATED CUDA-parity workload — every (splat, tile) pair that can
+    # contribute is composited, like the reference kernel. Interval binning
+    # culls the rect wants (1.252M pairs) to the 741-787k pairs whose tile
+    # actually meets the c_cut level conic or filter disc (the rest
+    # composite exactly zero; the CUDA kernel pays for them, we don't), and
+    # (20,4) = 9N work slots is where the trainer's ~1.3x adaptive
+    # escalation lands from (16,3) on this scene (7N drops ~3%, 9N reaches
+    # zero drops on all 4 bench cameras — measured 2026-08-20).
     budget = tuple(int(x) for x in
-                   os.environ.get("BENCH_BUDGET", "32,6").split(","))
+                   os.environ.get("BENCH_BUDGET", "20,4").split(","))
 
     rng = np.random.default_rng(0)
     pts = np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),

@@ -721,38 +721,62 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
              n_giants: int = 0, giant_dup: int | None = None,
              work_mult: int = 3, conic_cull: bool = True):
     """Duplicate-expand over 16x16 tiles and sort by a packed (tile|depth)
-    int32 key into a per-tile K-aligned layout — with ONE sort and no
-    scatter/compaction ops.
+    int32 key into a per-tile K-aligned layout — scatter-free, built from
+    parity-merge rank-selects and sorts only.
 
-    Compacted expansion: a static work buffer of W entry slots is mapped
-    straight to (splat, duplicate) pairs — slot m belongs to the splat
-    whose cumulative want range contains m. Every splat therefore gets its
-    FULL clipped footprint rect (the CUDA duplication semantics,
-    rasterize_points.cu — no per-splat cap, no skirt truncation) as long
-    as the scene's total wants fit W; overflow drops the trailing splats'
-    entries and reports them in n_dropped, which drives the trainer's
-    adaptive budget escalation. This replaces the former dense
-    [N, max_dup] tier table (+ giant-splat overflow tiers), whose
-    budget-sized — not want-sized — sort input cost 24+19 ms/step at the
-    zero-drop budget on the 100k north-star scene.
+    TWO-LEVEL compacted expansion (the CUDA reference bins every splat's
+    full isotropic 3-sigma square, rasterize_points.cu; like the tight-rect
+    footprint in preprocess, this only removes (splat, tile) pairs that
+    composite to exactly zero):
 
-    The slot->splat rank-select runs as a PARITY-MERGE SORT, the only
-    TPU-fast primitive for it (measured on v5e: one 1.5M int32 sort = 4 ms
-    vs 161 ms for vectorized binary search — 17 serial gather passes — and
-    279 ms for a single 100k scatter): sort ONE int32 array holding marker
-    keys 2*min(cum_prev, W) (per splat, even) and slot keys 2m+1 (odd).
-    Markers enter pre-sorted and stable-tie before their first slot, so
-    after the sort the r-th marker IS splat r and parity recovers identity
-    with no payload: s = cumsum(is_marker) - 1, m = p - s - 1. Per-splat
-    attributes then arrive in ONE row-gather from a packed [N, 8] int32
-    table (row gathers are ~6x cheaper than per-column gathers).
+      level 1  splat -> (splat, tile-row): a static R_buf-slot row buffer
+        maps slots to rect rows. Per row, an EXACT-conservative x-interval
+        is computed analytically: the splat contributes where
+        rho = min(rho3d, rho2d) <= c_cut, i.e. inside the c_cut level
+        conic of rho3d (prep.ell, interior A dx^2 + B dx dy + C dy^2 <= 1)
+        OR the rho2d filter disc (radius^2 = c_cut/2). For the tile-row's
+        pixel band the ellipse's x-extent is closed-form (the rightmost/
+        leftmost ellipse point's dy clamped to the band — the extent is
+        concave/convex in dy, so clamping the unconstrained argmax is
+        exact) and the disc's is sqrt(r^2 - dy_min^2); the interval is the
+        conservative hull of both, widened by 2e-2 relative margins that
+        cover the ~2.4e-3 worst-case relative error of the P^-1-built
+        conic coefficients 8x over (raster_common.preprocess conditioning
+        gate). Splats with no usable ellipse (A=B=C=0: degenerate or
+        ill-conditioned) keep their full rect row. `conic_cull=False`
+        keeps full rect rows everywhere (the pre-cull CUDA-parity
+        enumeration, used by the exactness tests).
 
-    W = max(N, 1024)*(max_dup//4 + work_mult): the (max_dup, work_mult)
-    budget pair keeps its external meaning (one escalating dial — the
-    trainer doubles both in lockstep, mesh/eval paths floor it) while the
-    sort input stays proportional to the actual duplicate budget.
-    NOTE: cumsum(n_want) is int32 — total wanted (splat, tile) pairs must
-    stay below 2^31, which the trainer's 48M-key cap guarantees.
+      level 2  (splat, tile-row) -> (splat, tile): a W-slot work buffer
+        maps slots to columns inside each row's interval. This makes EVERY
+        downstream cost — the key sort, the kernels' entry walks, and the
+        [M, F] gradient scatter (all proportional to W) — scale with the
+        post-cull workload instead of the rect workload, which is where
+        the former per-(splat,tile) cull (evaluated per work slot AFTER
+        slot allocation) fell short: it culled kernel entries but the
+        buffer, sort, and scatter still paid for the full rect.
+
+    Each level's slot->owner rank-select runs as a PARITY-MERGE SORT, the
+    only TPU-fast primitive for it (measured on v5e: one 1.5M int32 sort =
+    4 ms vs 161 ms for vectorized binary search — 17 serial gather passes —
+    and 279 ms for a single 100k scatter): sort ONE int32 array holding
+    marker keys 2*min(cum_prev, W) (per owner, even) and slot keys 2m+1
+    (odd). Markers enter pre-sorted and stable-tie before their first slot,
+    so after the sort the r-th marker IS owner r and parity recovers
+    identity with no payload: s = cumsum(is_marker) - 1, m = p - s - 1.
+    Per-owner attributes then arrive in ONE row-gather from a packed int32
+    table (row gathers are ~6x cheaper than per-column gathers); float
+    fields ride the table bitcast.
+
+    W = max(N, 1024)*(max_dup//4 + work_mult) and R_buf = max(N, 1024)*
+    max(2, (max_dup//4 + work_mult)//2): the (max_dup, work_mult) budget
+    pair keeps its external meaning (one escalating dial — the trainer
+    doubles both in lockstep, mesh/eval paths floor it) and the row buffer
+    scales with it. Overflow of either buffer drops trailing entries and
+    reports them in n_dropped (rows conservatively count as >=1 pair),
+    which drives the trainer's adaptive budget escalation.
+    NOTE: cumsums are int32 — total wanted (splat, tile) pairs must stay
+    below 2^31, which the trainer's 48M-key cap guarantees.
 
     Filler trick (unchanged): append exactly K filler entries per tile
     whose key is the tile's maximum depth quantile (real entries are
@@ -785,17 +809,15 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
     ty1 = jnp.clip(jnp.floor((cy + ry) / TILE) + 1, 0, tiles_y).astype(jnp.int32)
     nx = jnp.where(valid, tx1 - tx0, 0)
     ny = jnp.where(valid, ty1 - ty0, 0)
-    n_want = nx * ny
 
     # N floored at 1024: tiny scenes (early training, unit tests) get slack
     # far beyond their arena, and the floor SCALES with the budget pair so
     # the trainer/mesh escalation reaches zero drops even when N is tiny
     # but the splats are enormous (post-opacity-reset fog sheets)
-    W = max(N, 1024) * max(max_dup // 4 + work_mult, 1)
-    cum = jnp.cumsum(n_want)                       # [N] int32
-    cum_prev = cum - n_want
-    total = cum[N - 1]
-    n_dropped = jnp.maximum(total - W, 0)
+    base = max(N, 1024)
+    wm = max(max_dup // 4 + work_mult, 1)
+    W = base * wm
+    R_buf = base * max(2, wm // 2)
 
     # Pack (tile, quantized depth) into ONE int32 sort key: depth order
     # only matters within a tile, where the quantization is far below any
@@ -812,85 +834,113 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
     dq = jnp.clip((dq * (1 << db)).astype(jnp.int32), 0, (1 << db) - 2)
     BIG = jnp.int32(n_tiles) * (1 << db)
 
-    # --- parity-merge rank-select (see module docstring) -------------------
-    P = W + N
-    mk = 2 * jnp.minimum(cum_prev, W)              # [N] even marker keys
-    sk = 2 * jnp.arange(W, dtype=jnp.int32) + 1    # [W] odd slot keys
-    kA = jax.lax.sort(jnp.concatenate([mk, sk]))   # [P]
-    is_marker = (kA & 1) == 0
-    s = jnp.cumsum(is_marker.astype(jnp.int32)) - 1  # [P] splat id (>=0)
-    m = jnp.arange(P, dtype=jnp.int32) - s - 1       # slot id at slot rows
+    # --- level 1: splat -> (splat, tile-row) -------------------------------
+    cumr = jnp.cumsum(ny)                          # [N] int32
+    cumr_prev = cumr - ny
+    rows_dropped = jnp.maximum(cumr[N - 1] - R_buf, 0)
+    P1 = R_buf + N
+    mk1 = 2 * jnp.minimum(cumr_prev, R_buf)
+    sk1 = 2 * jnp.arange(R_buf, dtype=jnp.int32) + 1
+    kA1 = jax.lax.sort(jnp.concatenate([mk1, sk1]))
+    is_m1 = (kA1 & 1) == 0
+    s1 = jnp.cumsum(is_m1.astype(jnp.int32)) - 1     # [P1] splat id
+    r1 = jnp.arange(P1, dtype=jnp.int32) - s1 - 1    # row slot id
 
-    # one row-gather for all per-splat attributes; float fields ride the
-    # int32 table bitcast so it stays ONE row-gather
-    cols = [cum_prev, nx, tx0, ty0, dq, n_want]
+    cols1 = [cumr_prev, ty0, tx0, nx, ny, dq]
     if conic_cull:
         c_cut = 2.0 * jnp.log(jnp.maximum(prep.opacity, 1e-12) / ALPHA_EPS)
-        fcols = [prep.ell[:, 0], prep.ell[:, 1], prep.ell[:, 2],
-                 prep.ell[:, 3], prep.ell[:, 4], cx, cy, 0.5 * c_cut]
-        cols += [jax.lax.bitcast_convert_type(f.astype(jnp.float32),
-                                              jnp.int32) for f in fcols]
-    tab = jnp.stack(cols, axis=1)                                  # [N, 6|14]
-    g = tab[jnp.clip(s, 0, N - 1)]                                 # [P, ...]
-    j = m - g[:, 0]                                # duplicate index in rect
-    nx_s = g[:, 1]
-    live = (~is_marker) & (j >= 0) & (j < g[:, 5])
-    # row = j // nx, col = j % nx without integer division (VPU int div is
-    # a long op sequence): (j+0.5)/nx is never within 0.5/nx of an integer,
-    # and the f32 reciprocal-multiply error is < 2^-21 * j, so the floor is
-    # exact for j < 2^20.
-    recip = 1.0 / jnp.maximum(nx_s, 1).astype(jnp.float32)
-    row = jnp.floor((j.astype(jnp.float32) + 0.5) * recip).astype(jnp.int32)
-    col = j - row * nx_s
-    tile = (g[:, 3] + row) * tiles_x + (g[:, 2] + col)
+        fcols1 = [prep.ell[:, 0], prep.ell[:, 1], prep.ell[:, 2],
+                  prep.ell[:, 3], prep.ell[:, 4], cx, cy,
+                  0.5 * c_cut]                       # filter-disc radius^2
+        cols1 += [jax.lax.bitcast_convert_type(f.astype(jnp.float32),
+                                               jnp.int32) for f in fcols1]
+    tab1 = jnp.stack(cols1, axis=1)                  # [N, 13|14]
+    g1 = tab1[jnp.clip(s1, 0, N - 1)]                # [P1, ...]
+    rr = r1 - g1[:, 0]                               # row index in rect
+    rowv = (~is_m1) & (rr >= 0) & (rr < g1[:, 4])
+    ty = g1[:, 1] + rr                               # tile row
+    tx0_r = g1[:, 2]
+    nx_r = g1[:, 3]
 
     if conic_cull:
-        # Exact-conservative per-pair cull: the pair contributes only where
-        # rho = min(rho3d, rho2d) <= c_cut, i.e. iff the tile's pixel rect
-        # meets the rho3d level ellipse (prep.ell, centered/normalized so
-        # interior is Q < 0 with footprint-sized coords) OR the rho2d filter
-        # disc (radius^2 = c_cut/2, FILTER_INV_SQUARE = 2). Rect-vs-ellipse
-        # is exact for a convex quadratic: interiors meet iff the ellipse
-        # center lies in the rect or min Q over some edge <= 0 (clamped-
-        # vertex evaluation). One-sided margins (2e-2 * |term| sums) keep it
-        # conservative: they cover the ~2.4e-3 worst-case relative error of
-        # the P^-1-built coefficients (raster_common.preprocess conditioning
-        # gate) 8x over, so a culled pair has alpha < ALPHA_EPS at EVERY
-        # pixel of its tile and removing it is a bit-level no-op for every
-        # output and gradient (cf. the tight-footprint contract above).
-        # Degenerate/hyperbolic conics store A=B=C=0 -> q = -1 -> kept.
-        fl = jax.lax.bitcast_convert_type(g[:, 6:14], jnp.float32)
-        eA, eB, eC, ccx, ccy, scx, scy, rd2 = [fl[:, i] for i in range(8)]
-        txf = (g[:, 2] + col).astype(jnp.float32) * TILE
-        tyf = (g[:, 3] + row).astype(jnp.float32) * TILE
-        ext = float(TILE - 1)
-        # filter-disc vs rect (pixel centers at integers)
-        qx = jnp.clip(scx, txf, txf + ext) - scx
-        qy = jnp.clip(scy, tyf, tyf + ext) - scy
-        live2d = qx * qx + qy * qy <= rd2 * (1.0 + 1e-5) + 1e-5
-        # ellipse vs rect in conic-centered coordinates
-        x0, y0 = txf - ccx, tyf - ccy
-        x1, y1 = x0 + ext, y0 + ext
-        center_in = (x0 <= 0) & (x1 >= 0) & (y0 <= 0) & (y1 >= 0)
+        fl1 = jax.lax.bitcast_convert_type(g1[:, 6:14], jnp.float32)
+        eA, eB, eC, ccx, ccy, scx, scy, rd2 = [fl1[:, i] for i in range(8)]
+        usable = (eA > 0) & (eC > 0)
+        b0 = ty.astype(jnp.float32) * TILE           # pixel centers at ints
+        b1 = b0 + float(TILE - 1)
+        # ellipse x-extent over the band (dy relative to the conic center):
+        # rightmost point of {A dx^2 + B dx dy + C dy^2 <= 1} is at
+        # dx_m = 2 sqrt(C/D), dy_m = -B dx_m / (2C) with D = 4AC - B^2 > 0;
+        # x+(dy) = (-B dy + sqrt(4A - D dy^2)) / (2A) is concave in dy, so
+        # its max over [d0, d1] is at clamp(dy_m); symmetrically for x-.
+        d0 = b0 - ccy
+        d1 = b1 - ccy
+        safeA = jnp.where(usable, eA, 1.0)
+        safeC = jnp.where(usable, eC, 1.0)
+        D4 = jnp.maximum(4.0 * eA * eC - eB * eB, 1e-20)
+        dx_m = 2.0 * jnp.sqrt(jnp.maximum(eC, 0.0) / D4)
+        dy_r = -eB * dx_m / (2.0 * safeC)
+        dy_rc = jnp.clip(dy_r, d0, d1)
+        dy_lc = jnp.clip(-dy_r, d0, d1)
+        disc_r = 4.0 * eA - D4 * dy_rc * dy_rc
+        disc_l = 4.0 * eA - D4 * dy_lc * dy_lc
+        # band meets the ellipse iff the band dy nearest the center is
+        # within the ellipse's y-extent (with relative margin)
+        dy_near = jnp.clip(0.0, d0, d1)
+        e_hit = usable & (D4 * dy_near * dy_near
+                          <= 4.0 * eA * (1.0 + 2e-2) + 1e-6)
+        xhi_e = ccx + (-eB * dy_rc + jnp.sqrt(jnp.maximum(disc_r, 0.0))) \
+            / (2.0 * safeA)
+        xlo_e = ccx + (-eB * dy_lc - jnp.sqrt(jnp.maximum(disc_l, 0.0))) \
+            / (2.0 * safeA)
+        # conservative widen: covers coefficient error (2e-2 relative on
+        # footprint-sized extents) plus sub-pixel slop
+        err_e = 2e-2 * (dx_m + jnp.abs(dy_rc) + jnp.abs(dy_lc)) + 0.51
+        # filter disc x-extent over the band
+        dmin_d = jnp.maximum(jnp.maximum(b0 - scy, scy - b1), 0.0)
+        d_hit = dmin_d * dmin_d <= rd2 * (1.0 + 1e-5) + 1e-5
+        hw = jnp.sqrt(jnp.maximum(rd2 - dmin_d * dmin_d, 0.0)) + 0.51
+        BIGX = jnp.float32(1e9)
+        xlo = jnp.minimum(jnp.where(e_hit, xlo_e - err_e, BIGX),
+                          jnp.where(d_hit, scx - hw, BIGX))
+        xhi = jnp.maximum(jnp.where(e_hit, xhi_e + err_e, -BIGX),
+                          jnp.where(d_hit, scx + hw, -BIGX))
+        # no usable ellipse -> keep the full rect row (rho3d unbounded)
+        xlo = jnp.where(usable, xlo, -BIGX)
+        xhi = jnp.where(usable, xhi, BIGX)
+        inv_t = 1.0 / TILE
+        cx0 = jnp.clip(jnp.floor(xlo * inv_t).astype(jnp.int32),
+                       tx0_r, tx0_r + nx_r)
+        cx1 = jnp.clip(jnp.floor(xhi * inv_t).astype(jnp.int32) + 1,
+                       tx0_r, tx0_r + nx_r)
+        cnt = jnp.where(rowv, jnp.maximum(cx1 - cx0, 0), 0)
+    else:
+        cx0 = tx0_r
+        cnt = jnp.where(rowv, nx_r, 0)
 
-        def edge_hit(quad, other, e, lo, hi):
-            # fixed coord e on this edge; free coord t in [lo, hi]:
-            # min_t quad*t^2 + eB*e*t + (other*e^2 - 1) <= 0 (with margin)?
-            v = jnp.where(quad > 0,
-                          -0.5 * eB * e / jnp.where(quad > 0, quad, 1.0), 0.0)
-            t = jnp.clip(v, lo, hi)
-            const = other * e * e
-            q = quad * t * t + eB * e * t + const - 1.0
-            qa = (jnp.abs(quad) * t * t + jnp.abs(eB * e * t)
-                  + jnp.abs(const) + 1.0)
-            return q <= 2e-2 * qa
+    # --- level 2: (splat, tile-row) -> (splat, tile) -----------------------
+    cum2 = jnp.cumsum(cnt)                           # [P1] int32
+    cum2_prev = cum2 - cnt
+    total2 = cum2[P1 - 1]
+    n_dropped = jnp.maximum(total2 - W, 0) + rows_dropped
+    P2 = W + P1
+    mk2 = 2 * jnp.minimum(cum2_prev, W)
+    sk2 = 2 * jnp.arange(W, dtype=jnp.int32) + 1
+    kA2 = jax.lax.sort(jnp.concatenate([mk2, sk2]))
+    is_m2 = (kA2 & 1) == 0
+    s2 = jnp.cumsum(is_m2.astype(jnp.int32)) - 1     # [P2] row-slot id
+    m2 = jnp.arange(P2, dtype=jnp.int32) - s2 - 1    # work slot id
 
-        hit = (edge_hit(eC, eA, x0, y0, y1) | edge_hit(eC, eA, x1, y0, y1)
-               | edge_hit(eA, eC, y0, x0, x1) | edge_hit(eA, eC, y1, x0, x1))
-        live = live & (live2d | center_in | hit)
+    tile0 = ty * tiles_x + cx0
+    sid_r = jnp.where(rowv, s1, N)
+    tab2 = jnp.stack([cum2_prev, tile0, cnt, g1[:, 5], sid_r], axis=1)
+    g2 = tab2[jnp.clip(s2, 0, P1 - 1)]               # [P2, 5]
+    jc = m2 - g2[:, 0]                               # column in the interval
+    live = (~is_m2) & (jc >= 0) & (jc < g2[:, 2])
+    tile = g2[:, 1] + jc
 
-    packed = jnp.where(live, tile * (1 << db) + g[:, 4], BIG)
-    sidx = jnp.where(live, s, N)
+    packed = jnp.where(live, tile * (1 << db) + g2[:, 3], BIG)
+    sidx = jnp.where(live, g2[:, 4], N)
 
     tids = jnp.arange(n_tiles, dtype=jnp.int32)
     filler_keys = jnp.repeat(tids, K) * (1 << db) + ((1 << db) - 1)
@@ -898,6 +948,11 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
     sidx_all = jnp.concatenate(
         [sidx, jnp.full((n_tiles * K,), N, jnp.int32)])
     keys_s, sidx_s = jax.lax.sort((keys_all, sidx_all), num_keys=1)
+    # The P1 level-2 marker rows all carry BIG keys and sort behind every
+    # real entry (<= W of them) and every filler (n_tiles*K): slice them off
+    # so the downstream gather/kernel/scatter sizes scale with W, not W+P1.
+    keys_s = keys_s[:W + n_tiles * K]
+    sidx_s = sidx_s[:W + n_tiles * K]
 
     # +K safety rows so the last tile's chunked DMA never runs off the array
     idx_k = jnp.where(keys_s >= BIG, N, sidx_s)

@@ -157,9 +157,15 @@ def training(dataset: ModelParams, opt: OptimizationParams,
         return max(16, min(128, (48_000_000 // max(capacity, 1)) // 16 * 16))
 
     def maybe_grow_budget(n_dropped: int, n_active: int, capacity: int):
-        """Double (max_dup, work_mult) after 3 consecutive logged steps
+        """Grow (max_dup, work_mult) ~1.3x after 3 consecutive logged steps
         dropping >1% of active splats' duplicates; capped at
-        (max_dup_cap(capacity), 24)."""
+        (max_dup_cap(capacity), 24). The step factor matters because every
+        downstream cost — key sort, kernel entry walks, and the [M, F]
+        gradient scatter — scales with the work buffer W: doubling
+        overshoots the zero-drop point by up to 2x, while ~1.3x lands
+        within ~30% of it (each recompile costs one step's latency, and
+        interval binning keeps W close to true post-cull wants, so the
+        escalation converges in a handful of steps either way)."""
         cap = max_dup_cap(capacity)
         if raster_budget[0] >= cap:
             return
@@ -168,8 +174,10 @@ def training(dataset: ModelParams, opt: OptimizationParams,
         else:
             drop_strikes[0] = 0
         if drop_strikes[0] >= 3:
-            raster_budget[0] = min(raster_budget[0] * 2, cap)
-            raster_budget[1] = min(raster_budget[1] * 2, 24)
+            raster_budget[0] = min(max(raster_budget[0] + 4,
+                                       raster_budget[0] * 5 // 4 // 4 * 4),
+                                   cap)
+            raster_budget[1] = min(raster_budget[1] + 1, 24)
             drop_strikes[0] = 0
             print(f"[raster] duplicate budget grown to max_dup="
                   f"{raster_budget[0]}, work_mult={raster_budget[1]} "

@@ -205,9 +205,17 @@ def test_budget_overflow_drops_are_counted(rng):
     total = int((np.where(val, nx, 0) * np.where(val, ny, 0)).sum())
     W = max(n, 1024) * 3                      # max_dup=0, work_mult=3
     assert total > W, f"scene must overflow the test budget ({total})"
+    # the rect enumeration (conic_cull=False) drops exactly rect_wants - W
     out = rasterize_tiled(prep, means2d, jnp.zeros(3), size, size,
-                          max_dup=0, work_mult=3, interpret=True)
+                          max_dup=0, work_mult=3, interpret=True,
+                          conic_cull=False)
     assert int(out["n_dropped"]) == total - W
+    # interval binning wants fewer pairs (it culls zero-contribution
+    # columns) but must still report a positive exact drop count vs its
+    # own (smaller) want total
+    out_c = rasterize_tiled(prep, means2d, jnp.zeros(3), size, size,
+                            max_dup=0, work_mult=3, interpret=True)
+    assert 0 < int(out_c["n_dropped"]) <= total - W
 
 
 def test_specialized_backward_matches_full(rng):
