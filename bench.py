@@ -44,12 +44,14 @@ def main():
     # contribute is composited, like the reference kernel. Interval binning
     # culls the rect wants (1.252M pairs) to the 741-787k pairs whose tile
     # actually meets the c_cut level conic or filter disc (the rest
-    # composite exactly zero; the CUDA kernel pays for them, we don't), and
-    # (20,4) = 9N work slots is where the trainer's ~1.3x adaptive
-    # escalation lands from (16,3) on this scene (7N drops ~3%, 9N reaches
-    # zero drops on all 4 bench cameras — measured 2026-08-20).
+    # composite exactly zero; the CUDA kernel pays for them, we don't).
+    # (16,4) = W=8N work slots is where the trainer's +1N adaptive
+    # escalation lands from (16,3) on this scene: 7N drops ~3%, 8N reaches
+    # zero drops on all 4 bench cameras (measured 2026-08-20; the round-3
+    # ~1.3x policy overshot to (20,4)=9N, which benched 13.85 vs 14.28 it/s
+    # at 8N — same tree, same chip).
     budget = tuple(int(x) for x in
-                   os.environ.get("BENCH_BUDGET", "20,4").split(","))
+                   os.environ.get("BENCH_BUDGET", "16,4").split(","))
 
     rng = np.random.default_rng(0)
     pts = np.stack([rng.uniform(-1, 1, n), rng.uniform(-1, 1, n),

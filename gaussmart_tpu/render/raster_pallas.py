@@ -249,7 +249,14 @@ def _reduce_block(fields):
     the train step 13.86 -> 10.76 it/s on the v5e at the (20,4) budget — 20
     per-entry 128x128 matmuls are far more expensive than 7 shifted adds for
     a 4x128 row-sum. Keep the VPU lane reduction; any future change to this
-    function must carry a measured bench number in its commit."""
+    function must carry a measured bench number in its commit.
+
+    Also measured (round 4): pairing two folded (4,128) fields into one
+    (8,128) vreg so one lane-reduction tree serves both fields benches
+    13.733 vs 13.852 it/s — the VLIW scheduler already hides the per-field
+    reduction behind neighboring entries' geometry math (same finding as
+    round 2's fake-reduce test), and the extra concat costs more than the
+    saved shifts. Keep the simple per-field loop."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (STREAMS, F_PAD), 1)
     block = jnp.zeros((STREAMS, F_PAD), jnp.float32)
     for f_idx, f in enumerate(fields):
@@ -778,7 +785,8 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
     W = max(N, 1024)*(max_dup//4 + work_mult) and R_buf = max(N, 1024)*
     max(2, (max_dup//4 + work_mult)//2): the (max_dup, work_mult) budget
     pair keeps its external meaning (one escalating dial — the trainer
-    escalates max_dup ~1.25x and work_mult +1 per adaptive step, mesh/eval
+    escalates work_mult +1 per adaptive step, the finest W granularity, so
+    it lands ON the zero-drop point instead of overshooting; mesh/eval
     paths floor it) and the row buffer scales with it. Overflow of either
     buffer drops trailing entries and reports them in n_dropped (each
     dropped row is weighted by the mean column count of surviving rows, so

@@ -147,41 +147,34 @@ def training(dataset: ModelParams, opt: OptimizationParams,
                     raster_budget=tuple(raster_budget))
         return step_cache[key]
 
-    def max_dup_cap(capacity: int) -> int:
-        """128, tapered so the binning sort input stays bounded on
-        multi-million-splat scenes: capacity*max_dup <= 48M keys. The sort
-        and duplicate-expansion fusions scale with the dense key table over
-        the ARENA CAPACITY (prep arrays are capacity-sized), not with the
-        active count or actual duplicates — a 1M-splat scene at max_dup=128
-        would sort 128M keys."""
-        return max(16, min(128, (48_000_000 // max(capacity, 1)) // 16 * 16))
-
     def maybe_grow_budget(n_dropped: int, n_active: int, capacity: int):
-        """Grow (max_dup, work_mult) ~1.3x after 3 consecutive logged steps
-        dropping >1% of active splats' duplicates; capped at
-        (max_dup_cap(capacity), 24). The step factor matters because every
-        downstream cost — key sort, kernel entry walks, and the [M, F]
-        gradient scatter — scales with the work buffer W: doubling
-        overshoots the zero-drop point by up to 2x, while ~1.3x lands
-        within ~30% of it (each recompile costs one step's latency, and
-        interval binning keeps W close to true post-cull wants, so the
-        escalation converges in a handful of steps either way)."""
-        cap = max_dup_cap(capacity)
-        if raster_budget[0] >= cap:
+        """Grow the work buffer by +1N (work_mult += 1) after 3 consecutive
+        logged steps dropping >1% of active splats' duplicates; capped so
+        capacity * W_mult stays <= 48M sort keys (and work_mult <= 24).
+
+        +1N granularity (round 4; was ~1.3x): every downstream cost — key
+        sort, pblob gather, and the [M, F] gradient scatter — scales with
+        W = N*(max_dup//4 + work_mult), and interval binning keeps the
+        zero-drop point close to true post-cull wants, so the finest step
+        lands ON it instead of overshooting. Measured on the bench scene:
+        zero-drop is W=8N; the old policy escalated (16,3)->(20,4)=9N and
+        paid ~11% extra scatter/sort/gather for the rest of training."""
+        w_mult = raster_budget[0] // 4 + raster_budget[1]
+        w_cap = max(raster_budget[0] // 4 + 3,
+                    48_000_000 // max(capacity, 1))
+        if w_mult >= w_cap or raster_budget[1] >= 24:
             return
         if n_dropped > max(512, n_active // 100):
             drop_strikes[0] += 1
         else:
             drop_strikes[0] = 0
         if drop_strikes[0] >= 3:
-            raster_budget[0] = min(max(raster_budget[0] + 4,
-                                       raster_budget[0] * 5 // 4 // 4 * 4),
-                                   cap)
-            raster_budget[1] = min(raster_budget[1] + 1, 24)
+            raster_budget[1] += 1
             drop_strikes[0] = 0
             print(f"[raster] duplicate budget grown to max_dup="
                   f"{raster_budget[0]}, work_mult={raster_budget[1]} "
-                  f"(dropped {n_dropped})", flush=True)
+                  f"(W={raster_budget[0] // 4 + raster_budget[1]}N, "
+                  f"dropped {n_dropped})", flush=True)
 
     densify_step = make_densify_step(opt, extent=scene.cameras_extent)
 

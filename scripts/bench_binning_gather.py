@@ -1,0 +1,133 @@
+"""Micro-benchmark: level-2 binning per-slot attribute delivery variants.
+
+The train step's second-hottest XLA op (fusion.3, 6.7 ms at the (20,4)
+budget) is the [P2, 5] int32 table gather `g2 = tab2[clip(s2)]`
+(raster_pallas.py _binning level 2): XLA fuses a row gather with a
+row->column-major relayout. Candidates measured here on the real chip:
+
+  A  current: 5-column table, one row gather (XLA picks layouts)
+  B  3-column bit-packed table (cum2_prev | tile0+dq | sid+cnt) + unpack
+  C  2-column table (tile0+dq, sid+cnt); jc/cum2_prev reconstructed from
+     the parity structure itself (arange - 1 - cummax(marker positions))
+  D  five 1-D column gathers
+Timing: jitted fori_loop with chained carries (axon tunnel can't elide).
+"""
+from __future__ import annotations
+import argparse, os, sys, time
+import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--n", type=int, default=100_096)
+    ap.add_argument("--wmult", type=int, default=8)
+    args = ap.parse_args()
+    it = args.iters
+    import jax, jax.numpy as jnp
+    from gaussmart_tpu.runtime import setup
+    setup()
+
+    N = args.n
+    W = args.wmult * N
+    P1 = 4 * N + N          # R_buf + N
+    P2 = W + P1
+    rng = np.random.default_rng(0)
+    # monotone slot->row map like the parity merge produces
+    s2 = np.sort(rng.integers(0, P1, size=P2).astype(np.int32))
+    db = 19
+    cols = {
+        "cum2": np.sort(rng.integers(0, W, size=P1).astype(np.int32)),
+        "tile0": rng.integers(0, 1813, size=P1).astype(np.int32),
+        "cnt": rng.integers(0, 50, size=P1).astype(np.int32),
+        "dq": rng.integers(0, 1 << db, size=P1).astype(np.int32),
+        "sid": rng.integers(0, N + 1, size=P1).astype(np.int32),
+    }
+    s2j = jnp.asarray(s2)
+    colj = {k: jnp.asarray(v) for k, v in cols.items()}
+    mask = jnp.asarray((rng.random(P2) < 0.6))
+
+    def timed(fn, label, *fargs):
+        f = jax.jit(lambda leak, *a: jax.lax.fori_loop(
+            0, it, lambda i, c: fn(c * 1e-30, *a), fn(leak, *a)))
+        out = f(jnp.float32(0), *fargs)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(jnp.float32(0), *fargs))
+        dt = (time.perf_counter() - t0) / it * 1e3
+        print(f"  {dt:8.2f} ms  {label}", flush=True)
+
+    BIG = jnp.int32(1813 << db)
+
+    def variant_a(leak, s2v, c0, c1, c2, c3, c4):
+        tab = jnp.stack([c0, c1, c2, c3, c4], axis=1)
+        idx = jnp.clip(s2v + jnp.int32(leak), 0, P1 - 1)
+        g2 = tab[idx]
+        m2 = jnp.arange(P2, dtype=jnp.int32)
+        jc = m2 - g2[:, 0]
+        live = mask & (jc >= 0) & (jc < g2[:, 2])
+        tile = g2[:, 1] + jc
+        packed = jnp.where(live, tile * (1 << db) + g2[:, 3], BIG)
+        sidx = jnp.where(live, g2[:, 4], N)
+        return packed.max().astype(jnp.float32) + sidx.min() * 1e-30
+
+    def variant_b(leak, s2v, c0, c1, c2, c3, c4):
+        A = c0
+        B = c1 | (c3 << 11)
+        C = c4 | (c2 << 17)
+        tab = jnp.stack([A, B, C], axis=1)
+        idx = jnp.clip(s2v + jnp.int32(leak), 0, P1 - 1)
+        g2 = tab[idx]
+        m2 = jnp.arange(P2, dtype=jnp.int32)
+        jc = m2 - g2[:, 0]
+        tile0 = g2[:, 1] & 0x7FF
+        dq = g2[:, 1] >> 11
+        sid = g2[:, 2] & 0x1FFFF
+        cnt = g2[:, 2] >> 17
+        live = mask & (jc >= 0) & (jc < cnt)
+        packed = jnp.where(live, (tile0 + jc) * (1 << db) + dq, BIG)
+        sidx = jnp.where(live, sid, N)
+        return packed.max().astype(jnp.float32) + sidx.min() * 1e-30
+
+    def variant_c(leak, s2v, c0, c1, c2, c3, c4):
+        B = c1 | (c3 << 11)
+        C = c4 | (c2 << 17)
+        tab = jnp.stack([B, C], axis=1)
+        idx = jnp.clip(s2v + jnp.int32(leak), 0, P1 - 1)
+        g2 = tab[idx]
+        # jc from parity structure: position - 1 - last marker position,
+        # emulated here with a cummax over a synthetic marker mask
+        p = jnp.arange(P2, dtype=jnp.int32)
+        is_m = jnp.concatenate([jnp.zeros(P2 - P1, jnp.bool_),
+                                jnp.ones(P1, jnp.bool_)])  # stand-in mix
+        lastm = jax.lax.cummax(jnp.where(is_m, p, -1))
+        jc = p - 1 - lastm
+        tile0 = g2[:, 0] & 0x7FF
+        dq = g2[:, 0] >> 11
+        sid = g2[:, 1] & 0x1FFFF
+        cnt = g2[:, 1] >> 17
+        live = mask & (jc >= 0) & (jc < cnt)
+        packed = jnp.where(live, (tile0 + jc) * (1 << db) + dq, BIG)
+        sidx = jnp.where(live, sid, N)
+        return packed.max().astype(jnp.float32) + sidx.min() * 1e-30
+
+    def variant_d(leak, s2v, c0, c1, c2, c3, c4):
+        idx = jnp.clip(s2v + jnp.int32(leak), 0, P1 - 1)
+        g = [c[idx] for c in (c0, c1, c2, c3, c4)]
+        m2 = jnp.arange(P2, dtype=jnp.int32)
+        jc = m2 - g[0]
+        live = mask & (jc >= 0) & (jc < g[2])
+        packed = jnp.where(live, (g[1] + jc) * (1 << db) + g[3], BIG)
+        sidx = jnp.where(live, g[4], N)
+        return packed.max().astype(jnp.float32) + sidx.min() * 1e-30
+
+    cargs = (s2j, colj["cum2"], colj["tile0"], colj["cnt"], colj["dq"],
+             colj["sid"])
+    print(f"P1={P1} P2={P2} (W={W})")
+    timed(variant_a, "A: 5-col table row gather (current)", *cargs)
+    timed(variant_b, "B: 3-col packed table gather + unpack", *cargs)
+    timed(variant_c, "C: 2-col packed + cummax jc reconstruction", *cargs)
+    timed(variant_d, "D: five 1-D column gathers", *cargs)
+
+if __name__ == "__main__":
+    main()

@@ -46,34 +46,45 @@ def main():
     rows128 = jnp.asarray(rng.random((M, 128), np.float32))
     rows20 = jnp.asarray(rng.random((M, F), np.float32))
 
-    def timed(op, payload, label):
-        """op: f32 array -> f32 array (any shape); chained via scalar leak."""
-        def body(i, carry):
-            return op(payload + carry.reshape(-1)[0] * 1e-30)
-        fn = jax.jit(lambda p: jax.lax.fori_loop(0, it, body, op(p)))
-        out = fn(payload)
+    def timed(op, payload, label, idx=None):
+        """op: (f32 array[, idx]) -> f32 array; chained via scalar leak.
+        `idx` rides as a jit ARGUMENT (closing over a multi-MB device array
+        bakes it into the HLO as a constant, which the axon remote-compile
+        endpoint rejects with HTTP 413)."""
+        if idx is None:
+            def body(i, carry):
+                return op(payload + carry.reshape(-1)[0] * 1e-30)
+            fn = jax.jit(lambda p: jax.lax.fori_loop(0, it, body, op(p)))
+            fargs = (payload,)
+        else:
+            def body(i, carry):
+                return op(payload + carry.reshape(-1)[0] * 1e-30, idx)
+            fn = jax.jit(
+                lambda p, ix: jax.lax.fori_loop(0, it, body, op(p, ix)))
+            fargs = (payload, idx)
+        out = fn(*fargs)
         jax.block_until_ready(out)
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(payload))
+        jax.block_until_ready(fn(*fargs))
         dt = (time.perf_counter() - t0) / it * 1e3
         print(f"  {dt:8.2f} ms  {label}", flush=True)
         return dt
 
     print(f"M={M} N={N} (W={W})")
 
-    timed(lambda r: jnp.zeros((N + 1, F), jnp.float32).at[ids].add(
+    timed(lambda r, ix: jnp.zeros((N + 1, F), jnp.float32).at[ix].add(
         r[:, :F], mode="drop"), rows128,
-        "scatter-add [M,20] from [M,128] slice (current)")
-    timed(lambda r: jnp.zeros((N + 1, F), jnp.float32).at[ids].add(
-        r, mode="drop"), rows20, "scatter-add [M,20] native rows")
-    timed(lambda r: jnp.zeros((N + 1, 128), jnp.float32).at[ids].add(
-        r, mode="drop")[:, :F], rows128, "scatter-add [M,128] then slice")
-    timed(lambda r: jnp.zeros((N + 1, F), jnp.float32).at[ids_sorted].add(
+        "scatter-add [M,20] from [M,128] slice (current)", idx=ids)
+    timed(lambda r, ix: jnp.zeros((N + 1, F), jnp.float32).at[ix].add(
+        r, mode="drop"), rows20, "scatter-add [M,20] native rows", idx=ids)
+    timed(lambda r, ix: jnp.zeros((N + 1, 128), jnp.float32).at[ix].add(
+        r, mode="drop")[:, :F], rows128,
+        "scatter-add [M,128] then slice", idx=ids)
+    timed(lambda r, ix: jnp.zeros((N + 1, F), jnp.float32).at[ix].add(
         r[:, :F], mode="drop", indices_are_sorted=True), rows128,
-        "scatter-add sorted ids [M,20]")
+        "scatter-add sorted ids [M,20]", idx=ids_sorted)
 
-
-    timed(lambda r: r[perm], rows128, "row gather [M,128]")
+    timed(lambda r, ix: r[ix], rows128, "row gather [M,128]", idx=perm)
 
 
 if __name__ == "__main__":

@@ -60,7 +60,7 @@ def build(mode: str):
            for _ in cams]
     opt = OptimizationParams()
     budget = tuple(int(x) for x in
-                   os.environ.get("BENCH_BUDGET", "20,4").split(","))
+                   os.environ.get("BENCH_BUDGET", "16,4").split(","))
     # donate=True matches bench.py's train-step program exactly, so the
     # profiler reuses the persistent-cache entry the bench already paid for
     # (a fresh full-step compile through the axon tunnel can take 10-25 min)
