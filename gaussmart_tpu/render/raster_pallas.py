@@ -41,6 +41,7 @@ so only the totals (A_n, M1_n, M2_n) are needed as residuals:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict
 
 import jax
@@ -53,6 +54,8 @@ from gaussmart_tpu.render.raster_common import (ALPHA_EPS, ALPHA_MAX,
                                                 FILTER_INV_SQUARE, NEAR_PLANE,
                                                 T_EPS, Preprocessed,
                                                 mapped_depth)
+from gaussmart_tpu.render.segsum_pallas import (CB as SEG_CB, ID_LANE,
+                                                segment_sum_sorted)
 
 TILE = 16           # binning tile (one stream)
 GROUP = 32          # 2x2 tiles per grid program
@@ -811,7 +814,12 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
     (the tier scheme they configured no longer exists).
 
     Returns (padded_idx [M_pad] int32 splat indices (N = dummy),
-             starts [n_tiles], counts [n_tiles], order, n_dropped)."""
+             starts [n_tiles], counts [n_tiles], order, n_dropped,
+             ws_sorted [M_pad] int32 work slot per sorted entry (W = dummy)).
+    Work slots are assigned splat-major (cum2 is over rows in s1 order, and
+    s1 is a cumsum of sorted markers), so slot -> splat id is NON-DECREASING
+    — ws_sorted is the permutation the backward inverts to turn its per-
+    entry gradient reduction into a SORTED segment sum (segsum_pallas)."""
     del n_giants, giant_dup
     N = prep.depth.shape[0]
     n_tiles = tiles_x * tiles_y
@@ -971,7 +979,20 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
     keys_all = jnp.concatenate([packed, filler_keys])
     sidx_all = jnp.concatenate(
         [sidx, jnp.full((n_tiles * K,), N, jnp.int32)])
-    keys_s, sidx_s = jax.lax.sort((keys_all, sidx_all), num_keys=1)
+    if _GRAD_REDUCE == "segsum":
+        # carry each entry's work slot through the sort (W = dummy) — the
+        # segsum gradient reduction inverts it; the default scatter path
+        # skips the third payload so its sort matches the pre-segsum
+        # program exactly
+        ws = jnp.where(live, m2, W)
+        ws_all = jnp.concatenate(
+            [ws, jnp.full((n_tiles * K,), W, jnp.int32)])
+        keys_s, sidx_s, ws_s = jax.lax.sort((keys_all, sidx_all, ws_all),
+                                            num_keys=1)
+        ws_s = ws_s[:W + n_tiles * K]
+    else:
+        keys_s, sidx_s = jax.lax.sort((keys_all, sidx_all), num_keys=1)
+        ws_s = None
     # The P1 level-2 marker rows all carry BIG keys and sort behind every
     # real entry (<= W of them) and every filler (n_tiles*K): slice them off
     # so the downstream gather/kernel/scatter sizes scale with W, not W+P1.
@@ -981,6 +1002,11 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
     # +K safety rows so the last tile's chunked DMA never runs off the array
     idx_k = jnp.where(keys_s >= BIG, N, sidx_s)
     padded_idx = jnp.concatenate([idx_k, jnp.full((K,), N, jnp.int32)])
+    if ws_s is not None:
+        ws_k = jnp.where(keys_s >= BIG, W, ws_s)
+        ws_sorted = jnp.concatenate([ws_k, jnp.full((K,), W, jnp.int32)])
+    else:
+        ws_sorted = jnp.zeros((1,), jnp.int32)
 
     starts = jnp.searchsorted(keys_s, tids * (1 << db),
                               side="left").astype(jnp.int32)
@@ -992,20 +1018,27 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
     # (max over its streams) stays close to the mean instead of the max of
     # a random spatial 2x2 block.
     order = jnp.argsort(-counts).astype(jnp.int32)
-    return padded_idx, starts, counts, order, n_dropped
+    return padded_idx, starts, counts, order, n_dropped, ws_sorted
 
 
 # ---------------------------------------------------------------------------
 # custom-VJP core
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def _raster_core(blob, padded_idx, starts, counts, order, tiles_x, tiles_y,
-                 interpret, need_dist, need_med):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def _raster_core(blob, padded_idx, inv_slots, seg_slots, starts, counts,
+                 order, tiles_x, tiles_y, interpret, need_dist, need_med):
     """Kernel + fb->maps layout restore under ONE custom VJP: the layout
     map is a permutation, so its transpose is the inverse permutation
     (_maps_to_fb, a gather) rather than the scatter-add XLA's autodiff
-    of _fb_to_maps would emit. Returns [CH, H_pad, W_pad] maps."""
+    of _fb_to_maps would emit. Returns [CH, H_pad, W_pad] maps.
+
+    `inv_slots` [W] (work slot -> sorted-entry row, dead slots -> the
+    guaranteed-zero last padded row) and `seg_slots` [W] (work slot ->
+    splat id, NON-DECREASING — see _binning) are backward-only inputs:
+    they reorder the per-entry gradient rows to splat-major order so the
+    per-splat reduction is a sorted segment sum (segsum_pallas) instead
+    of an XLA scatter-add. Forward-only use DCEs them."""
     fb, ints, _ = _core_fwd_impl(blob, padded_idx, starts, counts, order,
                                  tiles_x, tiles_y, interpret)
     return _fb_to_maps(fb, order, tiles_x, tiles_y)
@@ -1050,19 +1083,70 @@ def _core_fwd_impl(blob, padded_idx, starts, counts, order, tiles_x,
     return fb, ints, pblob
 
 
-def _core_fwd(blob, padded_idx, starts, counts, order, tiles_x, tiles_y,
-              interpret, need_dist, need_med):
+def _core_fwd(blob, padded_idx, inv_slots, seg_slots, starts, counts, order,
+              tiles_x, tiles_y, interpret, need_dist, need_med):
     fb, ints, pblob = _core_fwd_impl(blob, padded_idx, starts, counts, order,
                                      tiles_x, tiles_y, interpret)
     maps = _fb_to_maps(fb, order, tiles_x, tiles_y)
-    return maps, (blob.shape[0], padded_idx, starts, counts, order, fb, ints,
-                  pblob)
+    return maps, (blob.shape[0], padded_idx, inv_slots, seg_slots, starts,
+                  counts, order, fb, ints, pblob)
+
+
+# "scatter" (default) keeps the XLA .at[].add gradient reduction;
+# "segsum" routes it through the sorted-segment-sum Pallas kernel
+# (segsum_pallas). MEASURED (v5e, 2026-08-21, 100k-splat bench): the
+# microbenched chain (inv sort 2.5 + row gather 3.5 + segsum kernel 5.0)
+# beats the 16.7 ms standalone scatter, but IN-STEP the segsum program
+# regresses the train step 14.26 -> 7.9 it/s — the custom-call +
+# reorder chain in the backward breaks XLA's fusion/layout around it
+# (+20 ms of copies and select fusions appear step-wide). Scatter stays
+# the default at bench scale; segsum remains the designed answer where
+# the scatter floor explodes (311 ms at 1M splats — BASELINE.md
+# "Splat-count scaling").
+_GRAD_REDUCE = os.environ.get("GMT_GRAD_REDUCE", "scatter")
+
+
+def _grad_reduce(grad_padded, padded_idx, inv_slots, seg_slots, Np1,
+                 interpret):
+    """Per-splat sums of the [M_pad, F_PAD] per-entry gradient rows.
+
+    Reorder rows to work-slot (splat-major) order via the precomputed
+    inverse permutation ([M,128] row gathers are the fast regime), embed
+    each row's splat id at ID_LANE (fuses into the gather's output write),
+    then run the sorted-segment-sum MXU kernel. Replaces the
+    .at[padded_idx].add scatter (15 ns/row, 19% of the train step at the
+    honest budget — BASELINE.md)."""
+    if _GRAD_REDUCE == "scatter":
+        grad_blob = jnp.zeros((Np1, F), jnp.float32).at[padded_idx].add(
+            grad_padded[:, :F], mode="drop")
+        return grad_blob.at[Np1 - 1].set(0.0)
+    # Pre-pad the reorder indices so the kernel's chunk over-read windows
+    # stay in bounds without a [W, 128] jnp.pad copy inside the segsum:
+    # dummy slots gather the guaranteed-zero last padded row, with seg id
+    # 2^30 (>= any padded segment block, so bounds exclude them).
+    W = inv_slots.shape[0]
+    M_pad = grad_padded.shape[0]
+    pad_n = _round_up(W + SEG_CB + 16, 8) - W
+    inv_p = jnp.concatenate(
+        [inv_slots, jnp.full((pad_n,), M_pad - 1, jnp.int32)])
+    seg_p = jnp.concatenate(
+        [seg_slots, jnp.full((pad_n,), 2 ** 30, jnp.int32)])
+    rows_sm = grad_padded[inv_p]
+    # embed ids via a lane-select (fuses into the gather's consumer; a
+    # .at[:, lane].set lowers to a dynamic-update-slice, ~2 ms standalone)
+    lane = jax.lax.broadcasted_iota(jnp.int32, rows_sm.shape, 1)
+    rows_sm = jnp.where(lane == ID_LANE,
+                        seg_p[:, None].astype(jnp.float32), rows_sm)
+    grad128 = segment_sum_sorted(rows_sm, seg_p, Np1 - 1,
+                                 interpret=interpret, assume_padded=True)
+    return jnp.pad(grad128[:Np1 - 1, :F], ((0, 1), (0, 0)))
 
 
 def _core_bwd(tiles_x, tiles_y, interpret, need_dist, need_med, res, ct_maps):
-    Np1, padded_idx, starts, counts, order, fb, ints, pblob = res
+    (Np1, padded_idx, inv_slots, seg_slots, starts, counts, order, fb,
+     ints, pblob) = res
     n_groups = (tiles_x * tiles_y) // STREAMS
-    M_pad = padded_idx.shape[0]
+    M_pad = pblob.shape[0]
 
     # Moment channels (M1/M2) carry no cotangent by contract (inference-only
     # outputs); convert the 11 differentiable channels through the inverse
@@ -1103,18 +1187,18 @@ def _core_bwd(tiles_x, tiles_y, interpret, need_dist, need_med, res, ct_maps):
         interpret=interpret,
     )(starts, counts, order, pblob, fb, ints, ct, gzero)
 
-    grad_blob = jnp.zeros((Np1, F), jnp.float32).at[padded_idx].add(
-        grad_padded[:, :F], mode="drop")
-    grad_blob = grad_blob.at[Np1 - 1].set(0.0)
-    return grad_blob, None, None, None, None
+    grad_blob = _grad_reduce(grad_padded, padded_idx, inv_slots, seg_slots,
+                             Np1, interpret)
+    return grad_blob, None, None, None, None, None, None
 
 
 _raster_core.defvjp(_core_fwd, _core_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
-def _raster_core_seeded(blob, init_fb, padded_idx, starts, counts, order,
-                        tiles_x, tiles_y, interpret, need_dist, need_med):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
+def _raster_core_seeded(blob, init_fb, padded_idx, inv_slots, seg_slots,
+                        starts, counts, order, tiles_x, tiles_y, interpret,
+                        need_dist, need_med):
     """Seeded (init-state) raster core — the differentiable production path
     for Gaussian-sharded TRAINING: gradients flow to both the splat blob and
     the per-pixel (T0, M1_0, M2_0) seed, and the raw T/M1/M2 map outputs
@@ -1124,21 +1208,22 @@ def _raster_core_seeded(blob, init_fb, padded_idx, starts, counts, order,
     return _fb_to_maps(fb, order, tiles_x, tiles_y)
 
 
-def _seeded_fwd(blob, init_fb, padded_idx, starts, counts, order, tiles_x,
-                tiles_y, interpret, need_dist, need_med):
+def _seeded_fwd(blob, init_fb, padded_idx, inv_slots, seg_slots, starts,
+                counts, order, tiles_x, tiles_y, interpret, need_dist,
+                need_med):
     fb, ints, pblob = _core_fwd_impl(blob, padded_idx, starts, counts, order,
                                      tiles_x, tiles_y, interpret, init=init_fb)
     maps = _fb_to_maps(fb, order, tiles_x, tiles_y)
-    return maps, (blob.shape[0], padded_idx, starts, counts, order, fb, ints,
-                  pblob, init_fb)
+    return maps, (blob.shape[0], padded_idx, inv_slots, seg_slots, starts,
+                  counts, order, fb, ints, pblob, init_fb)
 
 
 def _seeded_bwd(tiles_x, tiles_y, interpret, need_dist, need_med, res,
                 ct_maps):
-    (Np1, padded_idx, starts, counts, order, fb, ints, pblob,
-     init_fb) = res
+    (Np1, padded_idx, inv_slots, seg_slots, starts, counts, order, fb,
+     ints, pblob, init_fb) = res
     n_groups = (tiles_x * tiles_y) // STREAMS
-    M_pad = padded_idx.shape[0]
+    M_pad = pblob.shape[0]
 
     # all CH channels carry cotangents here (incl. T/M1/M2 raw outputs)
     ct = _maps_to_fb(ct_maps, order, tiles_x, tiles_y)
@@ -1183,10 +1268,9 @@ def _seeded_bwd(tiles_x, tiles_y, interpret, need_dist, need_med, res,
         interpret=interpret,
     )(starts, counts, order, pblob, fb, ints, ct, init_fb, gzero)
 
-    grad_blob = jnp.zeros((Np1, F), jnp.float32).at[padded_idx].add(
-        grad_padded[:, :F], mode="drop")
-    grad_blob = grad_blob.at[Np1 - 1].set(0.0)
-    return grad_blob, gi, None, None, None, None
+    grad_blob = _grad_reduce(grad_padded, padded_idx, inv_slots, seg_slots,
+                             Np1, interpret)
+    return grad_blob, gi, None, None, None, None, None, None
 
 
 _raster_core_seeded.defvjp(_seeded_fwd, _seeded_bwd)
@@ -1274,14 +1358,41 @@ def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
     half_wh = jnp.array([0.5 * width, 0.5 * height], jnp.float32)
 
     blob = _build_blob(prep, means2d, half_wh)
-    padded_idx, starts, counts, order, n_dropped = jax.lax.stop_gradient(
+    (padded_idx, starts, counts, order, n_dropped,
+     ws_sorted) = jax.lax.stop_gradient(
         _binning(prep, tiles_x, tiles_y, max_dup,
                  n_giants=n_giants, giant_dup=giant_dup,
                  work_mult=work_mult, conic_cull=conic_cull))
 
+    # Backward-only reduction tables (forward-only use DCEs them): invert
+    # the sorted-entry -> work-slot map so gradient rows can be reordered
+    # to splat-major order, where the per-splat reduction is a SORTED
+    # segment sum (see _grad_reduce / segsum_pallas). Inversion rides a
+    # second (key, payload) sort — 2.5 ms vs 7.2 ms for the equivalent
+    # 1-D scatter-set at the bench scale (bench_segsum.py). Dead slots
+    # (dummy ws = W sorts last) land on filler/unwritten sorted positions,
+    # whose gradient rows are zero by construction.
+    # seg rides the same sort as a second payload: a separate
+    # padded_idx[inv_slots] would be a 1-D [W] gather, which lowers
+    # catastrophically on TPU (~17x a row gather — bench_binning_gather
+    # variant D).
+    w_slots = max(prep.depth.shape[0], 1024) * max(max_dup // 4 + work_mult, 1)
+    M_pad = padded_idx.shape[0]
+    if _GRAD_REDUCE == "segsum":
+        _, inv_full, seg_full = jax.lax.sort(
+            (ws_sorted, jnp.arange(M_pad, dtype=jnp.int32), padded_idx),
+            num_keys=1)
+        inv_slots = inv_full[:w_slots]
+        seg_slots = seg_full[:w_slots]
+    else:
+        # keep the custom-VJP arity; unused by the scatter reduction
+        inv_slots = jnp.zeros((1,), jnp.int32)
+        seg_slots = jnp.zeros((1,), jnp.int32)
+
     if init_state is None:
-        maps = _raster_core(blob, padded_idx, starts, counts, order, tiles_x,
-                            tiles_y, interpret, need_dist_grad, need_med_grad)
+        maps = _raster_core(blob, padded_idx, inv_slots, seg_slots, starts,
+                            counts, order, tiles_x, tiles_y, interpret,
+                            need_dist_grad, need_med_grad)
     else:
         H_pad, W_pad = tiles_y * TILE, tiles_x * TILE
 
@@ -1296,9 +1407,10 @@ def rasterize_tiled(prep: Preprocessed, means2d, bg, width: int, height: int,
             pad_map(init_state.get("M2", jnp.zeros(height * width)), 0.0),
         ], axis=0)
         init_fb = _maps_to_fb(init_maps, order, tiles_x, tiles_y)
-        maps = _raster_core_seeded(blob, init_fb, padded_idx, starts, counts,
-                                   order, tiles_x, tiles_y, interpret,
-                                   need_dist_grad, need_med_grad)
+        maps = _raster_core_seeded(blob, init_fb, padded_idx, inv_slots,
+                                   seg_slots, starts, counts, order, tiles_x,
+                                   tiles_y, interpret, need_dist_grad,
+                                   need_med_grad)
     maps = maps[:, :height, :width]
 
     image = maps[0:3] + maps[10][None] * bg[:, None, None]

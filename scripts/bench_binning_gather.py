@@ -11,6 +11,13 @@ row->column-major relayout. Candidates measured here on the real chip:
      the parity structure itself (arange - 1 - cummax(marker positions))
   D  five 1-D column gathers
 Timing: jitted fori_loop with chained carries (axon tunnel can't elide).
+
+MEASURED (v5e, 2026-08-21, W=8N bench scale): A 8.30 / B 8.70 / C 9.00 /
+D 144.69 ms. NEGATIVE RESULT — the current 5-column row gather is already
+the fastest variant: narrowing the table trades gather rows for unpack
+ALU and loses, and per-column 1-D gathers are catastrophic (17x). The
+level-2 table gather stays as is; don't revisit without a structurally
+different delivery (e.g. fusing it into a Pallas binning kernel).
 """
 from __future__ import annotations
 import argparse, os, sys, time
@@ -50,10 +57,12 @@ def main():
     def timed(fn, label, *fargs):
         f = jax.jit(lambda leak, *a: jax.lax.fori_loop(
             0, it, lambda i, c: fn(c * 1e-30, *a), fn(leak, *a)))
-        out = f(jnp.float32(0), *fargs)
-        jax.block_until_ready(out)
+        # sync via scalar host fetch (block_until_ready returns before the
+        # tunnel's remote execution completes) and use DIFFERENT warmup vs
+        # timed inputs (the tunnel deduplicates identical dispatches)
+        float(f(jnp.float32(0), *fargs))
         t0 = time.perf_counter()
-        jax.block_until_ready(f(jnp.float32(0), *fargs))
+        float(f(jnp.float32(1e-30), *fargs))
         dt = (time.perf_counter() - t0) / it * 1e3
         print(f"  {dt:8.2f} ms  {label}", flush=True)
 

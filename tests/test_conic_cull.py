@@ -48,7 +48,7 @@ def _adversarial_prep(n, cam, seed=0, behind_frac=0.1):
 
 
 def _pair_sets(prep, tiles_x, tiles_y, budget, conic_cull):
-    idx, starts, counts, order, nd = jax.jit(
+    idx, starts, counts, order, nd, _ws = jax.jit(
         _binning, static_argnums=(1, 2, 3, 6),
         static_argnames=("conic_cull",))(
             prep, tiles_x, tiles_y, budget, conic_cull=conic_cull)
