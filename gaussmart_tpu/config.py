@@ -64,6 +64,12 @@ class OptimizationParams:
     percent_dense: float = 0.01
     lambda_dssim: float = 0.2
     lambda_dist: float = 0.0
+    # EXTENSION (not in the reference): linear ramp length for lambda_dist
+    # after its iter-3000 gate (0 = reference parity, full weight at once).
+    # The DTU-mesh recipe's lambda_dist=1000 step at iter 3000 destabilizes
+    # sparse-view scenes (BASELINE.md round-2 table); a ramp reaches the
+    # same weight gradually: lam = lambda_dist * clip((it-3000)/ramp, 0, 1)
+    lambda_dist_ramp: int = 0
     lambda_normal: float = 0.05
     lambda_segment: float = 0.05   # parity: parsed but unused (SURVEY.md §7.4)
     opacity_cull: float = 0.05

@@ -30,8 +30,12 @@ def photometric_loss(image: jnp.ndarray, gt: jnp.ndarray, lambda_dssim: float):
 
 
 def regularization_losses(render_pkg: Dict[str, jnp.ndarray], iteration,
-                          lambda_dist: float, lambda_normal: float):
-    """train.py:131-140: dist gated > 3000, normal gated > 7000."""
+                          lambda_dist: float, lambda_normal: float,
+                          lambda_dist_ramp: int = 0):
+    """train.py:131-140: dist gated > 3000, normal gated > 7000.
+    `lambda_dist_ramp` > 0 replaces the dist gate's step with a linear
+    ramp of that many iterations (framework extension, reference default
+    is the step — see OptimizationParams.lambda_dist_ramp)."""
     it = jnp.asarray(iteration, jnp.float32)
     # static-zero lambdas skip the term entirely so no cotangent reaches the
     # corresponding rasterizer channel (enables the specialized backward)
@@ -46,7 +50,11 @@ def regularization_losses(render_pkg: Dict[str, jnp.ndarray], iteration,
     if lambda_dist == 0.0:
         dist_loss = jnp.zeros((), jnp.float32)
     else:
-        lam_d = jnp.where(it > 3000, lambda_dist, 0.0)
+        if lambda_dist_ramp > 0:
+            lam_d = lambda_dist * jnp.clip((it - 3000.0) / lambda_dist_ramp,
+                                           0.0, 1.0)
+        else:
+            lam_d = jnp.where(it > 3000, lambda_dist, 0.0)
         dist_loss = lam_d * render_pkg["rend_dist"].mean()
     return dist_loss, normal_loss
 

@@ -82,7 +82,7 @@ def training(dataset: ModelParams, opt: OptimizationParams,
     with open(loss_log_path, "w", newline="") as f:
         csv.DictWriter(f, fieldnames=log_fields).writeheader()
     stat_log_path = os.path.join(dataset.model_path, "train_stats.csv")
-    stat_fields = ["iteration", "n_points", "n_dropped"]
+    stat_fields = ["iteration", "n_points", "n_dropped", "view", "dist_loss"]
     with open(stat_log_path, "w", newline="") as f:
         csv.DictWriter(f, fieldnames=stat_fields).writeheader()
     stat_rows: List[dict] = []
@@ -238,9 +238,14 @@ def training(dataset: ModelParams, opt: OptimizationParams,
                 "dist_loss": float(m.dist), "normal_loss": float(m.normal)})
             # framework diagnostics in a separate file: the reference's
             # dino_loss_log.csv schema (train.py:63-67) stays exact
+            # per-view dist attribution (DTU-mesh recipe diagnostics —
+            # lambda_dist=1000 view spikes, ROUND4.md task 4)
             stat_rows.append({
                 "iteration": iteration, "n_points": int(m.n_active),
-                "n_dropped": int(m.n_dropped)})
+                "n_dropped": int(m.n_dropped),
+                "view": idx if (mesh is None or parallel_mode == "mp")
+                        else idxs[0],
+                "dist_loss": float(m.dist)})
             maybe_grow_budget(int(m.n_dropped), int(m.n_active),
                               state.capacity)
             if tb is not None:
