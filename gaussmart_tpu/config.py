@@ -70,6 +70,11 @@ class OptimizationParams:
     # sparse-view scenes (BASELINE.md round-2 table); a ramp reaches the
     # same weight gradually: lam = lambda_dist * clip((it-3000)/ramp, 0, 1)
     lambda_dist_ramp: int = 0
+    # EXTENSION: cap on the raw per-view mean distortion entering the dist
+    # loss (0 = reference parity, no cap). Bounds the per-step injection of
+    # grazing views whose raw distortion runs ~170x the healthy-view scale
+    # (BASELINE.md "DTU-mesh recipe instability: root cause")
+    lambda_dist_clip: float = 0.0
     lambda_normal: float = 0.05
     lambda_segment: float = 0.05   # parity: parsed but unused (SURVEY.md §7.4)
     opacity_cull: float = 0.05

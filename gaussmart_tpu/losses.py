@@ -31,11 +31,16 @@ def photometric_loss(image: jnp.ndarray, gt: jnp.ndarray, lambda_dssim: float):
 
 def regularization_losses(render_pkg: Dict[str, jnp.ndarray], iteration,
                           lambda_dist: float, lambda_normal: float,
-                          lambda_dist_ramp: int = 0):
+                          lambda_dist_ramp: int = 0,
+                          lambda_dist_clip: float = 0.0):
     """train.py:131-140: dist gated > 3000, normal gated > 7000.
     `lambda_dist_ramp` > 0 replaces the dist gate's step with a linear
-    ramp of that many iterations (framework extension, reference default
-    is the step — see OptimizationParams.lambda_dist_ramp)."""
+    ramp of that many iterations; `lambda_dist_clip` > 0 caps the RAW
+    per-view mean distortion entering the loss (gradients vanish above
+    the cap, bounding the per-step injection of grazing views whose
+    distortion runs ~170x the healthy-view scale — BASELINE.md "DTU-mesh
+    recipe instability"). Both are framework extensions; reference
+    defaults are step gate + no clip."""
     it = jnp.asarray(iteration, jnp.float32)
     # static-zero lambdas skip the term entirely so no cotangent reaches the
     # corresponding rasterizer channel (enables the specialized backward)
@@ -55,7 +60,10 @@ def regularization_losses(render_pkg: Dict[str, jnp.ndarray], iteration,
                                            0.0, 1.0)
         else:
             lam_d = jnp.where(it > 3000, lambda_dist, 0.0)
-        dist_loss = lam_d * render_pkg["rend_dist"].mean()
+        raw = render_pkg["rend_dist"].mean()
+        if lambda_dist_clip > 0.0:
+            raw = jnp.minimum(raw, lambda_dist_clip)
+        dist_loss = lam_d * raw
     return dist_loss, normal_loss
 
 

@@ -71,7 +71,8 @@ def _loss_and_aux(params: GaussianParams, means2d, aux_state, cam, gt_image,
     loss, ll1 = photometric_loss(image, gt_image, opt.lambda_dssim)
     dist_loss, normal_loss = regularization_losses(
         pkg, iteration, opt.lambda_dist, opt.lambda_normal,
-        lambda_dist_ramp=getattr(opt, "lambda_dist_ramp", 0))
+        lambda_dist_ramp=getattr(opt, "lambda_dist_ramp", 0),
+        lambda_dist_clip=getattr(opt, "lambda_dist_clip", 0.0))
     dino = jnp.zeros((), jnp.float32)
     if dino_fn is not None:
         dino = dino_fn(image, gt_image, iteration)

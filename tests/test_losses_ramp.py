@@ -22,3 +22,18 @@ def test_linear_ramp():
     assert abs(dist_at(6500, lambda_dist_ramp=7000) - 500.0) < 1e-3
     assert dist_at(10000, lambda_dist_ramp=7000) == 1000.0
     assert dist_at(30000, lambda_dist_ramp=7000) == 1000.0
+
+
+def test_dist_clip():
+    import numpy as np
+    pkg = dict(PKG, rend_dist=jnp.full((16,), 0.02))
+    d, _ = regularization_losses(pkg, 20000, 1000.0, 0.0,
+                                 lambda_dist_clip=0.002)
+    assert abs(float(d) - 2.0) < 1e-5          # 1000 * min(0.02, 0.002)
+    d2, _ = regularization_losses(pkg, 20000, 1000.0, 0.0)
+    assert abs(float(d2) - 20.0) < 1e-4        # unclipped reference path
+    # clip leaves sub-threshold views untouched
+    pkg3 = dict(PKG, rend_dist=jnp.full((16,), 1e-4))
+    d3, _ = regularization_losses(pkg3, 20000, 1000.0, 0.0,
+                                  lambda_dist_clip=0.002)
+    assert abs(float(d3) - 0.1) < 1e-5
