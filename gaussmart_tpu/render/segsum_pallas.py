@@ -85,7 +85,11 @@ def _kernel(bounds_ref, rows_ref, out_ref, chunk, sems):
     def slot_of(c):
         return jnp.where(c == 0, my_cross, jax.lax.rem(c, 2))
 
-    @pl.when(o == 0)
+    # Guard the self-start exactly like the successor prefetch: an empty
+    # block 0 (re == rs) must not start a DMA it will never wait on — the
+    # orphaned completion on slot 2 would desynchronize the slot-2/3
+    # cross-block ping-pong for every later even block.
+    @pl.when((o == 0) & (re > rs))
     def _():
         dma(2, 0).start()
 
@@ -151,6 +155,12 @@ def segment_sum_sorted(rows, seg_ids, n_segments: int, *,
     """
     M = rows.shape[0]
     assert rows.shape[1] == LANES and seg_ids.shape == (M,)
+    # ids ride in-row as exact-integer f32: above 2^24 the id lane can no
+    # longer represent every integer and segment assignment silently
+    # corrupts — fail loudly instead.
+    assert n_segments < 2 ** 24, (
+        f"segment ids ride as exact-integer float32; n_segments="
+        f"{n_segments} exceeds the 2^24 exact-int range")
     n_pad = _round_up(max(n_segments, 1), OB)
     n_blocks = n_pad // OB
 

@@ -107,6 +107,7 @@ def training(dataset: ModelParams, opt: OptimizationParams,
     # cover many tiles and truncated renders corrupt both the loss and the
     # in-loop eval (the CUDA reference never truncates).
     raster_budget = [16, 3]
+    initial_w_mult = raster_budget[0] // 4 + raster_budget[1]
     drop_strikes = [0]
 
     def get_step(st):
@@ -160,8 +161,13 @@ def training(dataset: ModelParams, opt: OptimizationParams,
         zero-drop is W=8N; the old policy escalated (16,3)->(20,4)=9N and
         paid ~11% extra scatter/sort/gather for the rest of training."""
         w_mult = raster_budget[0] // 4 + raster_budget[1]
-        w_cap = max(raster_budget[0] // 4 + 3,
-                    48_000_000 // max(capacity, 1))
+        # Cap growth so capacity * W stays <= 48M sort keys, but never
+        # below the CONFIGURED initial budget (the floor used to hard-code
+        # work_mult=3, which silently disabled escalation under a
+        # non-default start and could admit W past the 48M bound when
+        # 48M//capacity < start). The 48M bound is best-effort when the
+        # initial budget already exceeds it.
+        w_cap = max(initial_w_mult, 48_000_000 // max(capacity, 1))
         if w_mult >= w_cap or raster_budget[1] >= 24:
             return
         if n_dropped > max(512, n_active // 100):
@@ -243,8 +249,11 @@ def training(dataset: ModelParams, opt: OptimizationParams,
             stat_rows.append({
                 "iteration": iteration, "n_points": int(m.n_active),
                 "n_dropped": int(m.n_dropped),
+                # in DP mode m.dist is the pmean across the n_devices views
+                # of this step — attributing it to one view would mislead
+                # the spike analyzer, so log view=-1 (analyzer skips it)
                 "view": idx if (mesh is None or parallel_mode == "mp")
-                        else idxs[0],
+                        else -1,
                 "dist_loss": float(m.dist)})
             maybe_grow_budget(int(m.n_dropped), int(m.n_active),
                               state.capacity)

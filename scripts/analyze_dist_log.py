@@ -23,7 +23,12 @@ def main():
             it = int(r["iteration"])
             if it <= args.after or not r.get("dist_loss"):
                 continue
-            rows.append((it, int(float(r["view"])), float(r["dist_loss"])))
+            view = int(float(r["view"]))
+            if view < 0:
+                # DP runs log view=-1 (the dist value is a pmean across the
+                # step's views — per-view attribution is meaningless there)
+                continue
+            rows.append((it, view, float(r["dist_loss"])))
     if not rows:
         print("no post-gate rows")
         return
