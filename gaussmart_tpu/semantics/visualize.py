@@ -26,7 +26,9 @@ def cls_patch_heatmap(encoder, image: np.ndarray) -> np.ndarray:
     x = encoder.tokens(jnp.asarray(image))
     g = encoder.image_size // encoder.patch
     cls_t = x[0] / jnp.linalg.norm(x[0])
-    patches = x[1:] / jnp.linalg.norm(x[1:], axis=-1, keepdims=True)
+    # patch tokens start after the prefix (CLS [+ DINOv3 register tokens])
+    pats = x[encoder.n_prefix:]
+    patches = pats / jnp.linalg.norm(pats, axis=-1, keepdims=True)
     sim = patches @ cls_t
     sim = (sim - sim.min()) / jnp.maximum(sim.max() - sim.min(), 1e-9)
     return np.asarray(sim.reshape(g, g))
