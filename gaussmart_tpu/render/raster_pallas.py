@@ -62,7 +62,32 @@ GROUP = 32          # 2x2 tiles per grid program
 STREAMS = 4
 K = 64              # splat entries per DMA chunk
 F = 20              # blob feature columns (see _build_blob)
-F_PAD = 128         # lane-aligned (Mosaic requires 128-wide lane slices)
+# "scatter" (default) keeps the XLA .at[].add gradient reduction;
+# "segsum" routes it through the sorted-segment-sum Pallas kernel
+# (segsum_pallas). MEASURED (v5e, 2026-08-21, 100k-splat bench): the
+# microbenched chain (inv sort 2.5 + row gather 3.5 + segsum kernel 5.0)
+# beats the 16.7 ms standalone scatter, but IN-STEP the segsum program
+# regresses the train step 14.26 -> 7.9 it/s — the custom-call +
+# reorder chain in the backward breaks XLA's fusion/layout around it
+# (+20 ms of copies and select fusions appear step-wide; see the
+# GMT_SEGSUM_BARRIER layout firewall in _grad_reduce). Scatter stays
+# the default at bench scale; segsum remains the designed answer where
+# the scatter floor explodes (311 ms at 1M splats — BASELINE.md
+# "Splat-count scaling").
+_GRAD_REDUCE = os.environ.get("GMT_GRAD_REDUCE", "scatter")
+# Row width of the per-entry blob and gradient buffers. MEASURED NEGATIVE
+# (round 5): shrinking to 32 lanes (the 20 features only need 32) is
+# rejected by Mosaic — HBM<->VMEM DMA slice shapes must be 128-lane
+# multiples ("Slice shape along dimension 1 must be aligned to tiling
+# (128), but is 32"), and packing 4 entries per 128-lane row dies on
+# per-tile start misalignment (starts are not 4-entry aligned, so the
+# lane quarter becomes a traced per-stream offset that would force
+# dynamic lane slicing in the hot delivery path). The ~3 ms/step of
+# lane-pad + zero traffic this width costs at the bench scale is
+# structural. XLA-side, gather[M,20]+pad == gather[M,128] from a
+# pre-padded blob (3.14 vs 3.2 ms microbenched) — no free lunch there
+# either.
+F_PAD = 128
 CH = 14             # forward framebuffer channels (incl. min_test)
 FARNEAR = (100.0 * 0.2) / (100.0 - 0.2)  # d(mapped)/d(depth) numerator
 
@@ -151,18 +176,24 @@ def _geom_manual_bwd(res, opacity, ca, cd):
     """Hand-derived cotangents of (alpha, depth) w.r.t. the 13 geometry
     scalars + opacity. Returns ([13] per-pixel gradient FIELDS, gop field);
     the caller reduces over each stream's pixels. Validated against the
-    autodiff oracle in tests/test_geom_vjp.py."""
+    autodiff oracle in tests/test_geom_vjp.py.
+
+    Op-count notes (round 5): crho reuses gop_f (saves 2 mul); the cross-
+    product cotangents are computed in NEGATED form (nck*, ncl*) so the
+    six gb sign flips become free operand swaps of the subtractions, at
+    the cost of one negation on inv_pz + one on cpz (net -5 vector
+    ops/entry)."""
     b = res["b"]
     live = res["live"].astype(jnp.float32)
     g = res["g"]
     gop_f = ca * g * live
-    crho = ca * opacity * g * (-0.5) * live
+    crho = (-0.5) * opacity * gop_f
     use3d = res["use3d"]
     u3 = use3d.astype(jnp.float32)
     crho3 = crho * u3
-    crho2 = crho * (1.0 - u3)
+    crho2 = crho - crho3
     cdep3 = cd * u3
-    cd_b8 = cd * (1.0 - u3)
+    cd_b8 = cd - cdep3
 
     f4x = 2.0 * FILTER_INV_SQUARE * res["dxc"] * crho2
     f4y = 2.0 * FILTER_INV_SQUARE * res["dyc"] * crho2
@@ -170,33 +201,34 @@ def _geom_manual_bwd(res, opacity, ca, cd):
     u, v, inv_pz = res["u"], res["v"], res["inv_pz"]
     cu = 2.0 * u * crho3 + b[2] * cdep3
     cv = 2.0 * v * crho3 + b[5] * cdep3
-    cpx = cu * inv_pz
-    cpy = cv * inv_pz
-    cpz = -(u * cpx + v * cpy)
+    ninv_pz = -inv_pz
+    ncpx = cu * ninv_pz                    # = -cpx
+    ncpy = cv * ninv_pz                    # = -cpy
+    ncpz = -(u * ncpx + v * ncpy)          # = -cpz
     kx, ky, kz = res["kx"], res["ky"], res["kz"]
     lx, ly, lz = res["lx"], res["ly"], res["lz"]
-    ckx = ly * cpz - lz * cpy
-    cky = lz * cpx - lx * cpz
-    ckz = lx * cpy - ly * cpx
-    clx = cpy * kz - cpz * ky
-    cly = cpz * kx - cpx * kz
-    clz = cpx * ky - cpy * kx
+    nckx = ly * ncpz - lz * ncpy           # = -ckx
+    ncky = lz * ncpx - lx * ncpz
+    nckz = lx * ncpy - ly * ncpx
+    nclx = ncpy * kz - ncpz * ky
+    ncly = ncpz * kx - ncpx * kz
+    nclz = ncpx * ky - ncpy * kx
 
     pxe, pye = res["pxe"], res["pye"]
     gb = [None] * 9
-    gb[0] = -ckx
-    gb[3] = -cky
-    gb[6] = -ckz
-    gb[1] = -clx
-    gb[4] = -cly
-    gb[7] = -clz
-    gb[2] = pxe * ckx + pye * clx + u * cdep3
-    gb[5] = pxe * cky + pye * cly + v * cdep3
-    gb[8] = pxe * ckz + pye * clz + cdep3 + cd_b8
+    gb[0] = nckx
+    gb[3] = ncky
+    gb[6] = nckz
+    gb[1] = nclx
+    gb[4] = ncly
+    gb[7] = nclz
+    gb[2] = u * cdep3 - (pxe * nckx + pye * nclx)
+    gb[5] = v * cdep3 - (pxe * ncky + pye * ncly)
+    gb[8] = cdep3 + cd_b8 - (pxe * nckz + pye * nclz)
     gcx = f4x
     gcy = f4y
-    gsx = f4x - (ckx * b[2] + cky * b[5] + ckz * b[8])
-    gsy = f4y - (clx * b[2] + cly * b[5] + clz * b[8])
+    gsx = f4x + (nckx * b[2] + ncky * b[5] + nckz * b[8])
+    gsy = f4y + (nclx * b[2] + ncly * b[5] + nclz * b[8])
     return gb + [gcx, gcy, gsx, gsy], gop_f
 
 
@@ -527,6 +559,10 @@ def _make_bwd_kernel(tiles_x: int, need_dist: bool, need_med: bool,
             A_eff = A_n + (1.0 - T0)     # in-segment alpha + upstream alpha
         else:
             A_eff = A_n
+        # loop-invariant: the T-cotangent routed through the suffix term
+        # (hoisted out of the per-entry body — it used to cost one
+        # multiply per entry)
+        TdT = T_final * dT_n
 
         def start_dmas(slot, c):
             for s in range(STREAMS):
@@ -615,7 +651,10 @@ def _make_bwd_kernel(tiles_x: int, need_dist: bool, need_med: bool,
                 if need_med:
                     grad_any = contrib | is_med
                 alpha_c = jnp.where(contrib, alpha, 0.0)
-                T_before = jnp.where(contrib, T_cur / (1.0 - alpha_c), T_cur)
+                # one reciprocal serves both T_before and the suffix term
+                # of dLdalpha (merged from two divides — round-5 op cut)
+                inv_oma = 1.0 / (1.0 - alpha_c)
+                T_before = T_cur * inv_oma
                 w = jnp.where(contrib, alpha_c * T_before, 0.0)
 
                 dsafe = jnp.where(contrib, depth, 1.0)
@@ -634,10 +673,9 @@ def _make_bwd_kernel(tiles_x: int, need_dist: bool, need_med: bool,
 
                 @pl.when(active)
                 def _():
-                    one_m_a = jnp.where(contrib, 1.0 - alpha_c, 1.0)
                     dLdalpha = jnp.where(
                         contrib,
-                        T_before * dLdw - (S + T_final * dT_n) / one_m_a,
+                        T_before * dLdw - (S + TdT) * inv_oma,
                         0.0)
                     dLdd = w * dD
                     if need_dist or with_init:
@@ -867,7 +905,11 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
     P1 = R_buf + N
     mk1 = 2 * jnp.minimum(cumr_prev, R_buf)
     sk1 = 2 * jnp.arange(R_buf, dtype=jnp.int32) + 1
-    kA1 = jax.lax.sort(jnp.concatenate([mk1, sk1]))
+    # single-array sort: equal marker keys are interchangeable (identity is
+    # recovered from parity counts alone), so stability buys nothing and
+    # is_stable=True makes XLA sort a hidden iota payload alongside
+    # (measured: the stable [1.3M] merge costs 1.97 ms vs ~1.4 unstable)
+    kA1 = jax.lax.sort(jnp.concatenate([mk1, sk1]), is_stable=False)
     is_m1 = (kA1 & 1) == 0
     s1 = jnp.cumsum(is_m1.astype(jnp.int32)) - 1     # [P1] splat id
     r1 = jnp.arange(P1, dtype=jnp.int32) - s1 - 1    # row slot id
@@ -958,13 +1000,19 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
     P2 = W + P1
     mk2 = 2 * jnp.minimum(cum2_prev, W)
     sk2 = 2 * jnp.arange(W, dtype=jnp.int32) + 1
-    kA2 = jax.lax.sort(jnp.concatenate([mk2, sk2]))
+    kA2 = jax.lax.sort(jnp.concatenate([mk2, sk2]), is_stable=False)
     is_m2 = (kA2 & 1) == 0
     s2 = jnp.cumsum(is_m2.astype(jnp.int32)) - 1     # [P2] row-slot id
     m2 = jnp.arange(P2, dtype=jnp.int32) - s2 - 1    # work slot id
 
     tile0 = ty * tiles_x + cx0
     sid_r = jnp.where(rowv, s1, N)
+    # MEASURED NEGATIVE (round 5): pre-packing (tile0, dq) into one sort-
+    # key-format column (4-col table) made the step SLOWER (14.37 -> 13.95
+    # it/s): the [P2, 4] gather picked a T(4,128) tiling that gathers
+    # worse than the 5-col T(8,128) one, and the pk0 where() split the
+    # conic-cull fusion chain into ~4 ms of standalone [P1] fusions. Keep
+    # the 5-col row layout.
     tab2 = jnp.stack([cum2_prev, tile0, cnt, g1[:, 5], sid_r], axis=1)
     g2 = tab2[jnp.clip(s2, 0, P1 - 1)]               # [P2, 5]
     jc = m2 - g2[:, 0]                               # column in the interval
@@ -988,10 +1036,16 @@ def _binning(prep: Preprocessed, tiles_x: int, tiles_y: int, max_dup: int,
         ws_all = jnp.concatenate(
             [ws, jnp.full((n_tiles * K,), W, jnp.int32)])
         keys_s, sidx_s, ws_s = jax.lax.sort((keys_all, sidx_all, ws_all),
-                                            num_keys=1)
+                                            num_keys=1, is_stable=False)
         ws_s = ws_s[:W + n_tiles * K]
     else:
-        keys_s, sidx_s = jax.lax.sort((keys_all, sidx_all), num_keys=1)
+        # Unstable: ties are (tile, SAME quantized depth) pairs, whose
+        # compositing order is already arbitrary relative to the dense
+        # oracle's exact-depth order (the 2^db quantization merged them);
+        # stability only pinned which arbitrary order, at the cost of a
+        # hidden iota payload in the sort.
+        keys_s, sidx_s = jax.lax.sort((keys_all, sidx_all), num_keys=1,
+                                      is_stable=False)
         ws_s = None
     # The P1 level-2 marker rows all carry BIG keys and sort behind every
     # real entry (<= W of them) and every filler (n_tiles*K): slice them off
@@ -1092,20 +1146,6 @@ def _core_fwd(blob, padded_idx, inv_slots, seg_slots, starts, counts, order,
                   counts, order, fb, ints, pblob)
 
 
-# "scatter" (default) keeps the XLA .at[].add gradient reduction;
-# "segsum" routes it through the sorted-segment-sum Pallas kernel
-# (segsum_pallas). MEASURED (v5e, 2026-08-21, 100k-splat bench): the
-# microbenched chain (inv sort 2.5 + row gather 3.5 + segsum kernel 5.0)
-# beats the 16.7 ms standalone scatter, but IN-STEP the segsum program
-# regresses the train step 14.26 -> 7.9 it/s — the custom-call +
-# reorder chain in the backward breaks XLA's fusion/layout around it
-# (+20 ms of copies and select fusions appear step-wide). Scatter stays
-# the default at bench scale; segsum remains the designed answer where
-# the scatter floor explodes (311 ms at 1M splats — BASELINE.md
-# "Splat-count scaling").
-_GRAD_REDUCE = os.environ.get("GMT_GRAD_REDUCE", "scatter")
-
-
 def _grad_reduce(grad_padded, padded_idx, inv_slots, seg_slots, Np1,
                  interpret):
     """Per-splat sums of the [M_pad, F_PAD] per-entry gradient rows.
@@ -1139,7 +1179,17 @@ def _grad_reduce(grad_padded, padded_idx, inv_slots, seg_slots, Np1,
                         seg_p[:, None].astype(jnp.float32), rows_sm)
     grad128 = segment_sum_sorted(rows_sm, seg_p, Np1 - 1,
                                  interpret=interpret, assume_padded=True)
-    return jnp.pad(grad128[:Np1 - 1, :F], ((0, 1), (0, 0)))
+    out = jnp.pad(grad128[:Np1 - 1, :F], ((0, 1), (0, 0)))
+    if os.environ.get("GMT_SEGSUM_BARRIER", "1") != "0":
+        # Layout-assignment firewall (measured, v5e, 100k bench): without
+        # it the segsum program's custom-call/reorder chain poisons the
+        # layouts of the UNRELATED per-splat SH/Adam chains ([N,15,3]
+        # tensors pick {2,0,1} layouts + copies, ~+20 ms step-wide,
+        # 14.26 -> 7.9 it/s). The barrier pins the reduced gradient to a
+        # fresh canonical-layout value so downstream layout choices match
+        # the scatter program's.
+        out = jax.lax.optimization_barrier(out)
+    return out
 
 
 def _core_bwd(tiles_x, tiles_y, interpret, need_dist, need_med, res, ct_maps):
