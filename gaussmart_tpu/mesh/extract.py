@@ -41,6 +41,7 @@ class GaussianExtractor:
     def clean(self):
         self.rgbmaps: List[jnp.ndarray] = []
         self.depthmaps: List[jnp.ndarray] = []
+        self.normalmaps: List[jnp.ndarray] = []
         self.viewpoint_stack: List[Camera] = []
 
     def reconstruction(self, viewpoint_stack: List[Camera]):
@@ -73,6 +74,13 @@ class GaussianExtractor:
                 pkg = render_fn(cam.params())
             self.rgbmaps.append(pkg["render"])
             self.depthmaps.append(pkg["surf_depth"])
+            # unit-normalized render normal (reference mesh_utils.py:110 —
+            # cached there but its save/video path is commented out; we
+            # keep the stream live for the normal trajectory video)
+            n = pkg["rend_normal"]
+            n = n / jnp.maximum(jnp.linalg.norm(n, axis=0, keepdims=True),
+                                1e-9)
+            self.normalmaps.append(n)
         self.center, self.radius = estimate_bounding_sphere(self.viewpoint_stack)
         print(f"The estimated bounding radius is {self.radius:.2f}")
         print(f"Use at least {2.0 * self.radius:.2f} for depth_trunc")
@@ -175,3 +183,6 @@ class GaussianExtractor:
                         os.path.join(render_path, f"{idx:05d}.png"))
             save_img_f32(np.asarray(self.depthmaps[idx][0]),
                          os.path.join(vis_path, f"depth_{idx:05d}.tiff"))
+            save_img_u8(np.transpose(np.asarray(self.normalmaps[idx]),
+                                     (1, 2, 0)) * 0.5 + 0.5,
+                        os.path.join(vis_path, f"normal_{idx:05d}.png"))

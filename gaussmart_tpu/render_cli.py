@@ -103,6 +103,30 @@ def main(argv=None):
         frames = [np.transpose(np.asarray(r), (1, 2, 0))
                   for r in extractor.rgbmaps]
         create_video(frames, os.path.join(traj_dir, "render_traj.mp4"))
+        # depth + normal streams (reference utils/render_utils.py:203-268
+        # create_videos; its normal stream is dead upstream — mesh_utils.py
+        # comments out the normal cache so the tag is always "missing" —
+        # we emit all three): depth uses the reference's log curve with
+        # [3, 97] percentile limits from frame 0, turbo-colormapped;
+        # normals map [-1,1] -> [0,1].
+        import matplotlib.cm as _cm
+        d0 = np.asarray(extractor.depthmaps[0][0])
+        pos = d0[d0 > 0]
+        lims = np.percentile(pos if pos.size else np.ones(1), [3, 97])
+        lo, hi = np.log(np.maximum(lims, 1e-6))
+        turbo = _cm.get_cmap("turbo")
+
+        def depth_frame(d):
+            d = np.asarray(d[0])
+            x = np.log(np.maximum(d, 1e-6))
+            x = np.clip((x - min(lo, hi)) / max(abs(hi - lo), 1e-9), 0, 1)
+            return turbo(x)[..., :3]
+
+        create_video([depth_frame(d) for d in extractor.depthmaps],
+                     os.path.join(traj_dir, "depth_traj.mp4"))
+        create_video([np.transpose(np.asarray(n), (1, 2, 0)) * 0.5 + 0.5
+                      for n in extractor.normalmaps],
+                     os.path.join(traj_dir, "normal_traj.mp4"))
 
     if not args.skip_mesh:
         print("export mesh ...")

@@ -11,6 +11,10 @@ from gaussmart_tpu.optim import init_adam
 from gaussmart_tpu.train_lib import make_train_step
 
 from test_train_smoke import make_cameras
+import pytest
+
+pytestmark = pytest.mark.slow  # whole-train-step interpret-mode parity — run via the full suite
+
 
 
 def test_train_step_backend_parity(rng):

@@ -6,6 +6,9 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # full scene build — run via the full suite
+
+
 
 def make_colmap_scene(root, rng, n_imgs=6, w=32, h=24, n_pts=60):
     from PIL import Image

@@ -14,6 +14,9 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # brute-force per-pair cull verification — run via the full suite
+
+
 from gaussmart_tpu.render import raster_common
 from gaussmart_tpu.render.raster_common import ALPHA_EPS, NEAR_PLANE
 from gaussmart_tpu.render.raster_pallas import (TILE, _binning, _geom,

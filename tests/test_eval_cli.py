@@ -97,9 +97,24 @@ def test_render_cli_end_to_end(tmp_path, rng):
         sh_degree=1, resolution=1, eval=True, images="images"))
 
     render_cli.main(["-m", str(out), "--iteration", "20",
-                     "--mesh_res", "64", "--backend", "dense"])
+                     "--mesh_res", "64", "--backend", "dense",
+                     "--render_path"])
     it_dir = out / "train" / "ours_20"
     assert (it_dir / "renders" / "00000.png").exists()
+    assert (it_dir / "vis" / "normal_00000.png").exists()
     assert (out / "test" / "ours_20" / "renders" / "00000.png").exists()
     assert (it_dir / "fuse.ply").exists()
     assert (it_dir / "fuse_post.ply").exists()
+
+    # trajectory videos: color + depth + normal streams (reference
+    # render_utils.py:203-268; its normal stream is dead upstream — we
+    # emit all three). Each must decode with the full frame count.
+    import cv2
+    traj_dir = out / "traj" / "ours_20"
+    for name in ("render_traj.mp4", "depth_traj.mp4", "normal_traj.mp4"):
+        path = traj_dir / name
+        assert path.exists(), name
+        cap = cv2.VideoCapture(str(path))
+        n_frames = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        cap.release()
+        assert n_frames == 240, (name, n_frames)

@@ -6,6 +6,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # 8-device virtual mesh + jitted sharded steps — run via the full suite
+
+
 from gaussmart_tpu.cameras import Camera
 from gaussmart_tpu.config import OptimizationParams
 from gaussmart_tpu.models.gaussians import init_from_pcd

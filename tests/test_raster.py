@@ -75,6 +75,7 @@ def test_single_splat_center_alpha(rng):
     assert abs(exp_depth[cy, cx] - 3.0) < 1e-2
 
 
+@pytest.mark.slow
 def test_background_blend(rng):
     cam = make_camera()
     xyz, scales, quats, opac, shs, _ = make_scene(1, rng, opacity=0.5)
@@ -107,6 +108,7 @@ def test_front_to_back_ordering(rng):
         assert img[2, cy, cx] < 0.15
 
 
+@pytest.mark.slow
 def test_inactive_splats_ignored(rng):
     cam = make_camera()
     xyz, scales, quats, opac, shs, _ = make_scene(6, rng)
@@ -117,6 +119,7 @@ def test_inactive_splats_ignored(rng):
                                np.asarray(out_small["image"]), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_chunk_size_invariance(rng):
     """Compositing must not depend on the scan chunking."""
     cam = make_camera()
@@ -129,6 +132,7 @@ def test_chunk_size_invariance(rng):
     np.testing.assert_allclose(outs[0], outs[2], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_normal_faces_camera(rng):
     cam = make_camera()
     xyz = jnp.array([[0.0, 0.0, 3.0]])
@@ -176,6 +180,7 @@ def test_gradients_flow(rng):
     np.testing.assert_allclose(np.asarray(grads[2]), g_num, rtol=2e-2, atol=5e-2)
 
 
+@pytest.mark.slow
 def test_distortion_zero_for_single_splat(rng):
     """Distortion integral is zero when only one surfel contributes."""
     cam = make_camera()

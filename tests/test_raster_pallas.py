@@ -33,6 +33,7 @@ def test_forward_matches_dense(rng):
     _assert_close_modulo_binning(out, ref)
 
 
+@pytest.mark.slow
 def test_forward_matches_dense_dense_overlap(rng):
     """Heavy overlap triggers early termination paths."""
     cam, prep, _ = prep_scene(rng, n=60, spread=0.15, scale=0.4, opacity=0.95)
@@ -103,6 +104,7 @@ def test_gradients_match_dense(rng):
                                    err_msg=f"grad mismatch: {nm}")
 
 
+@pytest.mark.slow
 def test_seeded_gradients_match_dense(rng):
     """Custom VJP of the SEEDED (init_state) core vs autodiff of the dense
     seeded compositor: gradients wrt splat inputs AND the (T0, M1_0, M2_0)
@@ -159,6 +161,7 @@ def test_seeded_gradients_match_dense(rng):
                                    err_msg=f"seeded grad mismatch: {nm}")
 
 
+@pytest.mark.slow
 def test_giant_splat_full_rect_within_budget(rng):
     """A splat covering the whole frame keeps its FULL footprint at the
     default budget (no per-splat cap in the compacted binning — CUDA
@@ -183,6 +186,7 @@ def test_giant_splat_full_rect_within_budget(rng):
                                atol=2e-5)
 
 
+@pytest.mark.slow
 def test_budget_overflow_drops_are_counted(rng):
     """When total wanted (splat, tile) pairs exceed the global W budget
     (incl. its 4096 small-scene floor) the overflow is dropped and
@@ -218,6 +222,7 @@ def test_budget_overflow_drops_are_counted(rng):
     assert 0 < int(out_c["n_dropped"]) <= total - W
 
 
+@pytest.mark.slow
 def test_specialized_backward_matches_full(rng):
     """need_dist_grad/need_med_grad=False must give identical gradients to
     the full backward whenever the loss ignores dist/median channels."""
@@ -249,6 +254,7 @@ def test_specialized_backward_matches_full(rng):
                                    err_msg=f"specialized bwd mismatch: {nm}")
 
 
+@pytest.mark.slow
 def test_truncation_stress_post_opacity_reset(rng):
     """VERDICT r1 task 5: the large-footprint regime right after an opacity
     reset (big world scales, opacity clamped to 0.01) must stay visually
@@ -289,6 +295,7 @@ def test_truncation_stress_post_opacity_reset(rng):
     assert psnr_vs_oracle(grown) > psnr_vs_oracle(bare)
 
 
+@pytest.mark.slow
 def test_init_state_segment_compositing_matches_full(rng):
     """Seeded (T, M1, M2) segment compositing through the tiled kernel:
     compositing the far half of the depth-sorted splats with the near
@@ -336,6 +343,7 @@ def test_init_state_segment_compositing_matches_full(rng):
                                    atol=1e-4, err_msg=k)
 
 
+@pytest.mark.slow
 def test_full_screen_giant_is_exact(rng):
     """A splat covering the whole frame (a near-camera background sheet)
     rasterizes with NO tile truncation — exact vs the dense oracle, zero
@@ -367,6 +375,7 @@ def test_full_screen_giant_is_exact(rng):
                                np.asarray(ref["allmap"][1]), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_tight_footprint_is_exact(rng):
     """The opacity-aware per-axis footprint (prep.rx/ry) must produce
     BIT-IDENTICAL output to binning with the reference's isotropic 3-sigma
@@ -435,6 +444,7 @@ def test_tight_footprint_is_exact(rng):
                                    atol=1e-6 * (np.abs(b).max() + 1e-12))
 
 
+@pytest.mark.slow
 def test_sub_eps_opacity_splat_has_empty_footprint(rng):
     """A splat with opacity <= ALPHA_EPS gets rx = ry = 0 (alpha < eps at
     EVERY pixel, so it composites nowhere and receives no gradient) and
@@ -489,6 +499,7 @@ def _quadrant_scene(counts, width=32, height=32, depth=3.0, scale=0.05,
     return cam, prep, (xyz, scales, quats, opac, shs)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("counts", [(3, 3, 1, 0), (70, 2, 1, 0)])
 def test_empty_and_short_streams_regression(rng, counts):
     """VERDICT r2 weak #1 repro: a 4-stream group mixing non-empty streams
@@ -518,6 +529,7 @@ def test_empty_and_short_streams_regression(rng, counts):
     _assert_close_modulo_binning(out, ref)
 
 
+@pytest.mark.slow
 def test_empty_and_short_streams_backward_regression(rng):
     """Backward companion of the uninit-VMEM regression: gradients through
     a group with empty + short + 2-chunk streams must be finite and match

@@ -4,6 +4,9 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode segsum kernel (opt-in path) — run via the full suite
+
+
 from gaussmart_tpu.render.segsum_pallas import (ID_LANE, OB,
                                                 segment_sum_sorted)
 

@@ -5,6 +5,9 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # full training driver runs — run via the full suite
+
+
 from gaussmart_tpu.io.ply import store_point_cloud
 
 

@@ -16,6 +16,10 @@ from gaussmart_tpu.models.gaussians import init_from_pcd
 from gaussmart_tpu.optim import init_adam
 from gaussmart_tpu.render.api import render
 from gaussmart_tpu.train_lib import make_train_step
+import pytest
+
+pytestmark = pytest.mark.slow  # full training driver runs — run via the full suite
+
 
 
 def make_cameras(n_cams=4, width=24, height=24):
