@@ -276,6 +276,13 @@ def main():
     ap.add_argument("--gt_points", type=int, default=200000)
     ap.add_argument("--unbounded", action="store_true",
                     help="M360-style: ground to the horizon + far hill ring")
+    ap.add_argument("--sparsify_sphere", type=float, default=0.0,
+                    help="drop this FRACTION of the sphere's SfM points "
+                         "(GT surface samples untouched) — builds the "
+                         "under-sampled-object scene the segment-aware "
+                         "densification A/B needs (reference "
+                         "scene/gaussian_model.py:186-258 exists exactly "
+                         "for low point-count/mask-area segments)")
     args = ap.parse_args()
     if args.unbounded:
         set_unbounded()
@@ -308,6 +315,13 @@ def main():
 
     # SfM-like sparse cloud: surface samples + noise + a few outliers
     pts, cols = sample_surface(args.sfm_points, rng)
+    if args.sparsify_sphere > 0.0:
+        on_sphere = (np.abs(np.linalg.norm(pts - SPHERE_C, axis=1)
+                            - SPHERE_R) < 1e-6)
+        drop = on_sphere & (rng.random(len(pts)) < args.sparsify_sphere)
+        pts, cols = pts[~drop], cols[~drop]
+        print(f"sparsified sphere: dropped {int(drop.sum())} of "
+              f"{int(on_sphere.sum())} sphere SfM points")
     pts = pts + rng.normal(0, 0.004, pts.shape)
     n_out = max(1, len(pts) // 200)
     outliers = rng.uniform(-4, 4, (n_out, 3))
