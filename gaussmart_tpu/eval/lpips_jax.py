@@ -1,4 +1,4 @@
-"""LPIPS in JAX/flax (VGG16 & AlexNet backbones + 1x1 linear heads).
+"""LPIPS in JAX (VGG16, AlexNet & SqueezeNet backbones + 1x1 linear heads).
 
 Architecture parity with the reference's vendored lpipsPyTorch/ (component
 #16): ImageNet-normalized input in [-1,1], per-layer unit-normalized
@@ -35,6 +35,18 @@ ALEX_CONVS = [  # (out_ch, kernel, stride, pad)
     (256, 3, 1, 1)]
 ALEX_POOL_AFTER = {0, 1}      # maxpool after conv0 and conv1 (and conv4, unused)
 
+# SqueezeNet 1.1 (reference lpipsPyTorch/modules/networks.py:66-74:
+# torchvision squeezenet1_1.features, taps [2,5,8,10,11,12,13] 1-based =
+# relu1 + fire{4,7,9,10,11,12} outputs, channels below). Fire modules as
+# (torchvision features index, squeeze ch, expand ch); 'M' = 3x3/2
+# ceil-mode maxpool; 'T' = tap after the preceding module.
+SQUEEZE_PLAN = ["C0", "T", "M", "F3", "F4", "T", "M", "F6", "F7", "T",
+                "M", "F9", "T", "F10", "T", "F11", "T", "F12", "T"]
+SQUEEZE_FIRE_CH = {3: (16, 64), 4: (16, 64), 6: (32, 128), 7: (32, 128),
+                   9: (48, 192), 10: (48, 192), 11: (64, 256),
+                   12: (64, 256)}
+SQUEEZE_TAP_CH = [64, 128, 256, 384, 384, 512, 512]
+
 WEIGHT_ENV = "GAUSSMART_LPIPS_WEIGHTS"
 DEFAULT_PATHS = [
     os.path.join(os.path.dirname(__file__), "weights", "lpips_{net}.npz"),
@@ -51,11 +63,22 @@ def _conv(x, w, b, stride=1, pad=1):
     return y + b.reshape(1, -1, 1, 1)
 
 
-def _maxpool(x, k=2):
-    """VGG pools 2x2/2; AlexNet pools 3x3/2 (torchvision .features parity —
-    caught by the golden-activation test in tests/test_converters.py)."""
-    return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 1, k, k),
-                                 (1, 1, 2, 2), "VALID")
+def _maxpool(x, k=2, ceil=False):
+    """VGG pools 2x2/2; AlexNet pools 3x3/2; SqueezeNet pools 3x3/2 with
+    ceil_mode=True (torchvision .features parity — caught by the
+    golden-activation tests in tests/test_converters.py)."""
+    if not ceil:
+        return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, (1, 1, k, k),
+                                     (1, 1, 2, 2), "VALID")
+    # ceil_mode: pad the tail with -inf so partial windows count
+    pads = []
+    for d in (2, 3):
+        n = x.shape[d]
+        out = -(-(n - k) // 2) + 1
+        pads.append(max((out - 1) * 2 + k - n, 0))
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 1, k, k), (1, 1, 2, 2),
+        [(0, 0), (0, 0), (0, pads[0]), (0, pads[1])])
 
 
 def _vgg_features(params: Dict, x: jnp.ndarray) -> List[jnp.ndarray]:
@@ -84,6 +107,35 @@ def _alex_features(params: Dict, x: jnp.ndarray) -> List[jnp.ndarray]:
     return feats
 
 
+def _fire(params: Dict, x: jnp.ndarray, idx: int) -> jnp.ndarray:
+    s = jax.nn.relu(_conv(x, params[f"fire{idx}_squeeze_w"],
+                          params[f"fire{idx}_squeeze_b"], 1, 0))
+    e1 = jax.nn.relu(_conv(s, params[f"fire{idx}_e1_w"],
+                           params[f"fire{idx}_e1_b"], 1, 0))
+    e3 = jax.nn.relu(_conv(s, params[f"fire{idx}_e3_w"],
+                           params[f"fire{idx}_e3_b"], 1, 1))
+    return jnp.concatenate([e1, e3], axis=1)
+
+
+def _squeeze_features(params: Dict, x: jnp.ndarray) -> List[jnp.ndarray]:
+    feats = []
+    for step in SQUEEZE_PLAN:
+        if step == "C0":
+            x = jax.nn.relu(_conv(x, params["conv0_w"], params["conv0_b"],
+                                  2, 0))
+        elif step == "M":
+            x = _maxpool(x, k=3, ceil=True)
+        elif step == "T":
+            feats.append(x)
+        else:
+            x = _fire(params, x, int(step[1:]))
+    return feats
+
+
+_FEATURES = {"vgg": _vgg_features, "alex": _alex_features,
+             "squeeze": _squeeze_features}
+
+
 def _unit_normalize(x, eps=1e-10):
     n = jnp.sqrt(jnp.sum(x * x, axis=1, keepdims=True))
     return x / (n + eps)
@@ -103,10 +155,9 @@ class LPIPS:
         scale = jnp.asarray(_SCALE).reshape(1, 3, 1, 1)
         xin = (x - shift) / scale
         yin = (y - shift) / scale
-        fx = (_vgg_features(self.params, xin) if self.net_type == "vgg"
-              else _alex_features(self.params, xin))
-        fy = (_vgg_features(self.params, yin) if self.net_type == "vgg"
-              else _alex_features(self.params, yin))
+        feat = _FEATURES[self.net_type]
+        fx = feat(self.params, xin)
+        fy = feat(self.params, yin)
         total = 0.0
         for i, (a, b) in enumerate(zip(fx, fy)):
             d = (_unit_normalize(a) - _unit_normalize(b)) ** 2
@@ -151,17 +202,30 @@ def convert_torch_lpips(backbone_state: Dict, lin_state: Dict,
     """Convert torch state dicts (torchvision backbone `features.*` +
     richzhang `lin*.model.1.weight`) to the .npz layout used here."""
     out = {}
-    conv_i = 0
-    keys = sorted((k for k in backbone_state if k.endswith(".weight")
-                   and "features" in k),
-                  key=lambda s: int(s.split(".")[1]))
-    for k in keys:
-        w = np.asarray(backbone_state[k])
-        b = np.asarray(backbone_state[k.replace(".weight", ".bias")])
-        out[f"conv{conv_i}_w"] = w
-        out[f"conv{conv_i}_b"] = b
-        conv_i += 1
-    for i in range(5):
+    if net_type == "squeeze":
+        # torchvision squeezenet1_1: features.0 (stem conv) +
+        # features.N.{squeeze,expand1x1,expand3x3} fire modules
+        out["conv0_w"] = np.asarray(backbone_state["features.0.weight"])
+        out["conv0_b"] = np.asarray(backbone_state["features.0.bias"])
+        for idx in SQUEEZE_FIRE_CH:
+            for src, dst in (("squeeze", "squeeze"), ("expand1x1", "e1"),
+                             ("expand3x3", "e3")):
+                for kind in ("weight", "bias"):
+                    out[f"fire{idx}_{dst}_{kind[0]}"] = np.asarray(
+                        backbone_state[f"features.{idx}.{src}.{kind}"])
+    else:
+        conv_i = 0
+        keys = sorted((k for k in backbone_state if k.endswith(".weight")
+                       and "features" in k),
+                      key=lambda s: int(s.split(".")[1]))
+        for k in keys:
+            w = np.asarray(backbone_state[k])
+            b = np.asarray(backbone_state[k.replace(".weight", ".bias")])
+            out[f"conv{conv_i}_w"] = w
+            out[f"conv{conv_i}_b"] = b
+            conv_i += 1
+    n_lins = len(SQUEEZE_TAP_CH) if net_type == "squeeze" else 5
+    for i in range(n_lins):
         for cand in (f"lin{i}.model.1.weight", f"lins.{i}.model.1.weight"):
             if cand in lin_state:
                 out[f"lin{i}_w"] = np.asarray(lin_state[cand])
@@ -190,6 +254,19 @@ def random_params(net_type: str = "vgg", seed: int = 0) -> Dict[str, np.ndarray]
                 taps.append(v)
             cin = v
             ci += 1
+    elif net_type == "squeeze":
+        out["conv0_w"] = rng.normal(0, 0.05, (64, 3, 3, 3)).astype(np.float32)
+        out["conv0_b"] = np.zeros(64, np.float32)
+        cin = 64
+        for idx, (sq, ex) in SQUEEZE_FIRE_CH.items():
+            out[f"fire{idx}_squeeze_w"] = rng.normal(0, 0.05, (sq, cin, 1, 1)).astype(np.float32)
+            out[f"fire{idx}_squeeze_b"] = np.zeros(sq, np.float32)
+            out[f"fire{idx}_e1_w"] = rng.normal(0, 0.05, (ex, sq, 1, 1)).astype(np.float32)
+            out[f"fire{idx}_e1_b"] = np.zeros(ex, np.float32)
+            out[f"fire{idx}_e3_w"] = rng.normal(0, 0.05, (ex, sq, 3, 3)).astype(np.float32)
+            out[f"fire{idx}_e3_b"] = np.zeros(ex, np.float32)
+            cin = 2 * ex
+        taps = list(SQUEEZE_TAP_CH)
     else:
         taps = []
         for i, (cout, k, s, p) in enumerate(ALEX_CONVS):

@@ -92,17 +92,71 @@ def _load_torch_sd(path_or_auto: str, tv_builder):
     return tv_builder(weights="DEFAULT").state_dict()
 
 
+def _build_features(net: str):
+    """Hand-built torch feature stacks with torchvision-matching state-dict
+    keys (this image has no torchvision; 'auto' sources still use it when
+    importable). Returns (nn.Sequential, 0-based tap indices)."""
+    import torch
+    import torch.nn as nn
+
+    if net == "vgg":
+        layers, cin = [], 3
+        for v in [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+                  512, 512, 512, "M", 512, 512, 512, "M"]:
+            if v == "M":
+                layers.append(nn.MaxPool2d(2, 2))
+            else:
+                layers += [nn.Conv2d(cin, v, 3, 1, 1), nn.ReLU()]
+                cin = v
+        return nn.Sequential(*layers), [3, 8, 15, 22, 29]
+    if net == "alex":
+        return nn.Sequential(
+            nn.Conv2d(3, 64, 11, 4, 2), nn.ReLU(), nn.MaxPool2d(3, 2),
+            nn.Conv2d(64, 192, 5, 1, 2), nn.ReLU(), nn.MaxPool2d(3, 2),
+            nn.Conv2d(192, 384, 3, 1, 1), nn.ReLU(),
+            nn.Conv2d(384, 256, 3, 1, 1), nn.ReLU(),
+            nn.Conv2d(256, 256, 3, 1, 1), nn.ReLU(),
+            nn.MaxPool2d(3, 2)), [1, 4, 7, 9, 11]
+
+    class Fire(nn.Module):
+        def __init__(self, cin, sq, ex):
+            super().__init__()
+            self.squeeze = nn.Conv2d(cin, sq, 1)
+            self.expand1x1 = nn.Conv2d(sq, ex, 1)
+            self.expand3x3 = nn.Conv2d(sq, ex, 3, padding=1)
+
+        def forward(self, x):
+            s = torch.relu(self.squeeze(x))
+            return torch.cat([torch.relu(self.expand1x1(s)),
+                              torch.relu(self.expand3x3(s))], 1)
+
+    return nn.Sequential(
+        nn.Conv2d(3, 64, 3, stride=2), nn.ReLU(),
+        nn.MaxPool2d(3, 2, ceil_mode=True),
+        Fire(64, 16, 64), Fire(128, 16, 64),
+        nn.MaxPool2d(3, 2, ceil_mode=True),
+        Fire(128, 32, 128), Fire(256, 32, 128),
+        nn.MaxPool2d(3, 2, ceil_mode=True),
+        Fire(256, 48, 192), Fire(384, 48, 192),
+        Fire(384, 64, 256), Fire(512, 64, 256)), [1, 4, 7, 9, 10, 11, 12]
+
+
 def convert_lpips(net: str, backbone_src: str, lin_src: str) -> str:
     import torch
-    import torchvision
 
     from gaussmart_tpu.eval import lpips_jax
 
     out_path = os.path.join(CACHE, f"lpips_{net}.npz")
     print(f"[lpips-{net}] converting backbone={backbone_src} "
           f"lin={lin_src} -> {out_path}")
-    builder = (torchvision.models.vgg16 if net == "vgg"
-               else torchvision.models.alexnet)
+
+    def builder(weights=None):
+        import torchvision  # only needed for 'auto' cache resolution
+        return {"vgg": torchvision.models.vgg16,
+                "alex": torchvision.models.alexnet,
+                "squeeze": torchvision.models.squeezenet1_1}[net](
+                    weights=weights)
+
     backbone_sd = _load_torch_sd(backbone_src, builder)
     lin_sd = torch.load(lin_src, map_location="cpu", weights_only=True)
     if hasattr(lin_sd, "state_dict"):
@@ -117,10 +171,11 @@ def convert_lpips(net: str, backbone_src: str, lin_src: str) -> str:
     with np.load(npz) as z:
         params = {k: z[k] for k in z.files}
     jl = lpips_jax.LPIPS(params, net)
-    features = builder()
-    features.load_state_dict(backbone_sd, strict=False)
-    feats = features.features.eval()
-    taps = {"vgg": [3, 8, 15, 22, 29], "alex": [1, 4, 7, 9, 11]}[net]
+    feats, taps = _build_features(net)
+    feats.load_state_dict({k[len("features."):]: torch.as_tensor(np.asarray(v))
+                           for k, v in backbone_sd.items()
+                           if k.startswith("features.")})
+    feats = feats.eval()
     shift = torch.tensor([-.030, -.088, -.188])[None, :, None, None]
     scale = torch.tensor([.458, .448, .450])[None, :, None, None]
 
@@ -178,6 +233,8 @@ def main():
     ap.add_argument("--lpips-vgg-lin", help="richzhang vgg lin .pth")
     ap.add_argument("--lpips-alex", help="'auto' or .pth")
     ap.add_argument("--lpips-alex-lin", help="richzhang alex lin .pth")
+    ap.add_argument("--lpips-squeeze", help="'auto' or squeezenet1_1 .pth")
+    ap.add_argument("--lpips-squeeze-lin", help="richzhang squeeze lin .pth")
     ap.add_argument("--sam", help="SAM vit_h / SAM2 checkpoint path")
     args = ap.parse_args()
 
@@ -194,9 +251,15 @@ def main():
             ap.error("--lpips-alex needs --lpips-alex-lin")
         did.append(convert_lpips("alex", args.lpips_alex,
                                  args.lpips_alex_lin))
+    if args.lpips_squeeze:
+        if not args.lpips_squeeze_lin:
+            ap.error("--lpips-squeeze needs --lpips-squeeze-lin")
+        did.append(convert_lpips("squeeze", args.lpips_squeeze,
+                                 args.lpips_squeeze_lin))
     if args.sam:
         check_sam(args.sam)
-    if not (args.dino or args.lpips_vgg or args.lpips_alex or args.sam):
+    if not (args.dino or args.lpips_vgg or args.lpips_alex
+            or args.lpips_squeeze or args.sam):
         ap.error("nothing to do — pass at least one of "
                  "--dino/--lpips-vgg/--lpips-alex/--sam")
     if did:

@@ -166,6 +166,84 @@ def test_lpips_converter_matches_torch(tmp_path):
     np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=1e-3)
 
 
+def test_lpips_squeeze_converter_matches_torch(tmp_path):
+    """SqueezeNet backbone (reference lpipsPyTorch/modules/networks.py:66-74:
+    torchvision squeezenet1_1.features, taps [2,5,8,10,11,12,13],
+    ceil-mode pools, 7 linear heads) — random torch weights, activation-
+    level agreement."""
+    import torch.nn as nn
+
+    from gaussmart_tpu.eval import lpips_jax
+
+    class Fire(nn.Module):
+        """torchvision.models.squeezenet.Fire (same submodule names so the
+        state-dict keys match the real checkpoint layout)."""
+
+        def __init__(self, cin, s, e):
+            super().__init__()
+            self.squeeze = nn.Conv2d(cin, s, 1)
+            self.expand1x1 = nn.Conv2d(s, e, 1)
+            self.expand3x3 = nn.Conv2d(s, e, 3, padding=1)
+
+        def forward(self, x):
+            s = torch.relu(self.squeeze(x))
+            return torch.cat([torch.relu(self.expand1x1(s)),
+                              torch.relu(self.expand3x3(s))], 1)
+
+    torch.manual_seed(4)
+    features = nn.Sequential(
+        nn.Conv2d(3, 64, 3, stride=2), nn.ReLU(),
+        nn.MaxPool2d(3, 2, ceil_mode=True),
+        Fire(64, 16, 64), Fire(128, 16, 64),
+        nn.MaxPool2d(3, 2, ceil_mode=True),
+        Fire(128, 32, 128), Fire(256, 32, 128),
+        nn.MaxPool2d(3, 2, ceil_mode=True),
+        Fire(256, 48, 192), Fire(384, 48, 192),
+        Fire(384, 64, 256), Fire(512, 64, 256))
+    for p in features.parameters():
+        torch.nn.init.normal_(p, 0, 0.05)
+    features = features.eval()
+    target_layers = [2, 5, 8, 10, 11, 12, 13]
+    lins = {}
+    for i, c in enumerate(lpips_jax.SQUEEZE_TAP_CH):
+        lins[f"lin{i}.model.1.weight"] = torch.rand(1, c, 1, 1) * 0.1
+
+    shift = torch.tensor([-.030, -.088, -.188])[None, :, None, None]
+    scale = torch.tensor([.458, .448, .450])[None, :, None, None]
+
+    def norm(t, eps=1e-10):
+        return t / (t.pow(2).sum(1, keepdim=True).sqrt() + eps)
+
+    @torch.no_grad()
+    def score(x, y):
+        x, y = (x - shift) / scale, (y - shift) / scale
+        total, fx, fy = 0.0, x, y
+        for i, m in enumerate(features, 1):
+            fx, fy = m(fx), m(fy)
+            if i in target_layers:
+                j = target_layers.index(i)
+                d = (norm(fx) - norm(fy)).pow(2)
+                total = total + (d * lins[f"lin{j}.model.1.weight"]).sum(
+                    1, keepdim=True).mean([2, 3])
+        return float(total.sum())
+
+    backbone_sd = {f"features.{k}": v.detach()
+                   for k, v in features.state_dict().items()}
+    npz = lpips_jax.convert_torch_lpips(backbone_sd, lins, "squeeze",
+                                        str(tmp_path / "squeeze.npz"))
+    with np.load(npz) as z:
+        params = {k: z[k] for k in z.files}
+    jl = lpips_jax.LPIPS(params, "squeeze")
+
+    rng = np.random.default_rng(5)
+    a = rng.random((3, 64, 64)).astype(np.float32)
+    b = rng.random((3, 64, 64)).astype(np.float32)
+    ours = float(np.asarray(jl(a, b))[0])
+    theirs = score(torch.from_numpy(a[None]) * 2 - 1,
+                   torch.from_numpy(b[None]) * 2 - 1)
+    np.testing.assert_allclose(ours, theirs, atol=2e-4, rtol=1e-3)
+
+
 def test_lpips_vgg_converter_matches_torch(tmp_path):
     """Same for the VGG16 backbone (the offline-metrics default)."""
     import torch.nn as nn
