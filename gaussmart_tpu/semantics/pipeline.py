@@ -35,7 +35,8 @@ from gaussmart_tpu.semantics.sam_backend import make_segmenter, save_masks_npz
 class Pipeline:
     def __init__(self, scan_path: str, output_path: str, dataset_type: str,
                  cluster_cameras: bool = True, sam2: bool = False,
-                 mask_backend: str = "auto", mask_dir: str = ""):
+                 mask_backend: str = "auto", mask_dir: str = "",
+                 project_z_cull: bool = False):
         self.scan_path = scan_path
         self.output_path = output_path
         self.dataset_type = dataset_type.lower()
@@ -43,6 +44,7 @@ class Pipeline:
         self.sam2 = sam2
         self.mask_backend = mask_backend
         self.mask_dir = mask_dir
+        self.project_z_cull = project_z_cull
         self.dirs = self._setup_directories()
 
     def _setup_directories(self) -> Dict[str, str]:
@@ -170,7 +172,8 @@ class Pipeline:
         pts, cols, normals = pcd
         print("4. Projecting segments to 3D...")
         segment_indices, mask_areas = project_segments(
-            pts, all_masks, cameras_dict, self.dataset_type)
+            pts, all_masks, cameras_dict, self.dataset_type,
+            z_cull=self.project_z_cull)
         print("5. Saving results...")
         self.save_results(pts, cols, normals, segment_indices, mask_areas)
         return segment_indices, mask_areas
@@ -191,12 +194,17 @@ def main(argv=None):
     parser.add_argument("--mask_backend", default="auto",
                         choices=["auto", "sam", "precomputed", "classical"])
     parser.add_argument("--mask_dir", default="")
+    parser.add_argument("--project_z_cull", action="store_true",
+                        help="depth-test the segment projection (opt-in; "
+                        "reference parity is occlusion-blind — "
+                        "pc_projection.py:111-135)")
     args = parser.parse_args(argv)
 
     pipeline = Pipeline(args.scan_path, args.output_path, args.type,
                         cluster_cameras=not args.skip_camera_clustering,
                         sam2=args.sam2, mask_backend=args.mask_backend,
-                        mask_dir=args.mask_dir)
+                        mask_dir=args.mask_dir,
+                        project_z_cull=args.project_z_cull)
     pipeline.run(clean_pc=args.clean)
 
 

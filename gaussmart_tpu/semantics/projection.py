@@ -92,11 +92,34 @@ def assign_segment_indices_simple(points_2d: np.ndarray,
     return seg
 
 
+def _occlusion_mask(pts2d: np.ndarray, depths: np.ndarray, visible,
+                    w: int, h: int, bin_px: int = 8,
+                    rel_tol: float = 0.05) -> np.ndarray:
+    """Points within (1+rel_tol) of their pixel-bin's nearest depth.
+
+    The reference projection is occlusion-blind (pc_projection.py:111-135
+    looks masks up by rounded pixel with no z-test), which floods an
+    object's segment with every point BEHIND it along the view — measured
+    on the under-sampled-sphere scene: 26 actual sphere SfM points, but
+    5,553 points assigned to the sphere's segment, so the mask-area
+    augmentation target (sqrt(area)*0.1 = 26) never fires. This opt-in
+    z-cull keeps, per coarse pixel bin, only the depth-nearest surface."""
+    bx = np.clip(pts2d[:, 0].astype(int) // bin_px, 0, (w - 1) // bin_px)
+    by = np.clip(pts2d[:, 1].astype(int) // bin_px, 0, (h - 1) // bin_px)
+    flat = by * ((w + bin_px - 1) // bin_px) + bx
+    nbins = ((h + bin_px - 1) // bin_px) * ((w + bin_px - 1) // bin_px)
+    near = np.full(nbins, np.inf)
+    np.minimum.at(near, flat[visible], depths[visible])
+    return depths <= near[flat] * (1.0 + rel_tol)
+
+
 def project_segments(points: np.ndarray, all_masks: List[List[Dict]],
-                     cameras_dict: Dict, dataset_type: str
+                     cameras_dict: Dict, dataset_type: str,
+                     z_cull: bool = False
                      ) -> Tuple[np.ndarray, Dict[int, int]]:
     """First-view-wins segment assignment + max-merged mask areas
-    (identification/main.py:114-148)."""
+    (identification/main.py:114-148). `z_cull=False` is reference parity
+    (occlusion-blind); True enables the per-pixel-bin depth test above."""
     segment_indices = -np.ones(len(points), dtype=int)
     mask_areas: Dict[int, int] = {}
     for view_idx, masks_list in enumerate(all_masks):
@@ -112,6 +135,10 @@ def project_segments(points: np.ndarray, all_masks: List[List[Dict]],
         pts2d, depths = project_points_to_view(points, camera, dataset_type)
         in_bounds = np.all((pts2d >= [0, 0]) & (pts2d < [w, h]), axis=1)
         visible = in_bounds & (depths > 0) & (segment_indices == -1)
+        if z_cull:
+            front = _occlusion_mask(pts2d, depths,
+                                    in_bounds & (depths > 0), w, h)
+            visible = visible & front
         if not visible.any():
             continue
         clipped = np.clip(pts2d[visible], [0, 0], [w - 1, h - 1])

@@ -39,6 +39,17 @@ PLANE_EXT = 2.2
 FAR_SPHERES = []  # list of (center[3], radius, albedo[3])
 
 
+def set_float_sphere():
+    """Raise the sphere into the void above the scene: from the ring
+    cameras its mask then has (almost) no other geometry behind it, the
+    one configuration in which the reference's mask-area augmentation
+    target (sqrt(area)*0.1, gaussian_model.py:186-245) can exceed the
+    segment's assigned point count — see BASELINE.md round-5 'Segment
+    densification' for the measured no-fire analysis on cluttered scenes."""
+    global SPHERE_C
+    SPHERE_C = np.array([0.0, 1.1, 0.0])
+
+
 def set_unbounded():
     global PLANE_EXT, FAR_SPHERES
     PLANE_EXT = 40.0
@@ -276,6 +287,15 @@ def main():
     ap.add_argument("--gt_points", type=int, default=200000)
     ap.add_argument("--unbounded", action="store_true",
                     help="M360-style: ground to the horizon + far hill ring")
+    ap.add_argument("--float_sphere", action="store_true",
+                    help="raise the sphere into the void (see "
+                         "set_float_sphere)")
+    ap.add_argument("--write_masks", action="store_true",
+                    help="write analytic GT object masks (per material id) "
+                         "in the reference segments_{i:03d}.npz format to "
+                         "<out>/masks_gt — a perfect-SAM stand-in for the "
+                         "segmentation pipeline (--mask_backend precomputed "
+                         "--mask_dir <out>/masks_gt --skip_camera_clustering)")
     ap.add_argument("--sparsify_sphere", type=float, default=0.0,
                     help="drop this FRACTION of the sphere's SfM points "
                          "(GT surface samples untouched) — builds the "
@@ -286,6 +306,8 @@ def main():
     args = ap.parse_args()
     if args.unbounded:
         set_unbounded()
+    if args.float_sphere:
+        set_float_sphere()
 
     from PIL import Image
     from gaussmart_tpu.io.colmap import (ColmapCamera, ColmapImage,
@@ -310,6 +332,33 @@ def main():
         Image.fromarray((rgb * 255).astype(np.uint8)).save(
             os.path.join(args.out, "images", name))
         images[i + 1] = ColmapImage(i + 1, rotmat2qvec(R), t, 1, name)
+        if args.write_masks:
+            # one center ray per pixel; material id -> binary object masks
+            ys, xs = np.meshgrid(np.arange(args.height) + 0.5,
+                                 np.arange(args.width) + 0.5, indexing="ij")
+            dirs = np.stack([(xs - args.width / 2) / args.focal,
+                             (ys - args.height / 2) / args.focal,
+                             np.ones_like(xs)], axis=-1)
+            dirs = dirs @ R
+            dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+            _, _, _, mat = trace(np.broadcast_to(eye, dirs.shape), dirs)
+            sys.path.insert(0, os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))))
+            from gaussmart_tpu.semantics.sam_backend import save_masks_npz
+            masks = []
+            for m_id in np.unique(mat):
+                if m_id == 0:
+                    continue
+                seg = mat == m_id
+                ys_m, xs_m = np.where(seg)
+                masks.append({
+                    "segmentation": seg,
+                    "bbox": [int(xs_m.min()), int(ys_m.min()),
+                             int(xs_m.max() - xs_m.min() + 1),
+                             int(ys_m.max() - ys_m.min() + 1)],
+                    "area": int(seg.sum())})
+            save_masks_npz(masks, os.path.join(
+                args.out, "masks_gt", f"segments_{i:03d}.npz"))
         print(f"rendered {name}")
     write_images_text(os.path.join(sparse, "images.txt"), images)
 

@@ -197,3 +197,33 @@ def test_pipeline_end_to_end(tmp_path, rng):
     loaded = np.load(pc_dir / "segment_indices.npy")
     assert len(loaded) == len(seg)
     assert (loaded >= -1).all()
+
+
+def test_project_segments_z_cull():
+    """Opt-in depth test: occluded points no longer inherit the front
+    object's mask; parity mode (default) keeps the reference's
+    occlusion-blind behavior (pc_projection.py:111-135)."""
+    from gaussmart_tpu.semantics.projection import project_segments
+
+    # camera at origin looking +z (nerf convention), 64x64, f=64
+    K = np.array([[64.0, 0, 32], [0, 64.0, 32], [0, 0, 1]])
+    cam = {"camera_mat": np.eye(4), "world_mat": np.eye(4)}
+    cam["camera_mat"][:3, :3] = K
+    # front cluster at z=2 and occluded cluster at z=10, same pixels
+    rng = np.random.default_rng(3)
+    front = np.column_stack([rng.uniform(-0.2, 0.2, 40),
+                             rng.uniform(-0.2, 0.2, 40), np.full(40, 2.0)])
+    back = front * np.array([5.0, 5.0, 5.0])   # same rays, z=10
+    pts = np.concatenate([front, back])
+    mask = np.zeros((64, 64), bool)
+    mask[16:48, 16:48] = True
+    masks = [[{"segmentation": mask, "bbox": [16, 16, 32, 32],
+               "area": int(mask.sum())}]]
+    cams = {"camera_000": cam}
+
+    seg_blind, _ = project_segments(pts, masks, cams, "nerf")
+    assert (seg_blind[:40] == 0).all() and (seg_blind[40:] == 0).all()
+
+    seg_cull, _ = project_segments(pts, masks, cams, "nerf", z_cull=True)
+    assert (seg_cull[:40] == 0).all()
+    assert (seg_cull[40:] == -1).all()
