@@ -75,6 +75,8 @@ F = 20              # blob feature columns (see _build_blob)
 # the scatter floor explodes (311 ms at 1M splats — BASELINE.md
 # "Splat-count scaling").
 _GRAD_REDUCE = os.environ.get("GMT_GRAD_REDUCE", "scatter")
+_FWD_UNROLL = int(os.environ.get("GMT_FWD_UNROLL", "8"))
+_BWD_UNROLL = int(os.environ.get("GMT_BWD_UNROLL", "8"))
 # Row width of the per-entry blob and gradient buffers. MEASURED NEGATIVE
 # (round 5): shrinking to 32 lanes (the 20 features only need 32) is
 # rejected by Mosaic — HBM<->VMEM DMA slice shapes must be 128-lane
@@ -458,11 +460,11 @@ def _make_fwd_kernel(tiles_x: int, with_init: bool = False):
             # flat). Entries past `bound` are masked no-ops (alpha forced 0
             # by the count_f range check), so a ragged bound rounds up safely.
             def octet(i, st):
-                for q in range(8):
-                    st = entry(8 * i + q, st)
+                for q in range(_FWD_UNROLL):
+                    st = entry(_FWD_UNROLL * i + q, st)
                 return st
 
-            st = jax.lax.fori_loop(0, pl.cdiv(bound, 8), octet, st)
+            st = jax.lax.fori_loop(0, pl.cdiv(bound, _FWD_UNROLL), octet, st)
             return c + 1, st
 
         def cond(carry):
@@ -702,14 +704,19 @@ def _make_bwd_kernel(tiles_x: int, need_dist: bool, need_med: bool,
                 S = S + jnp.where(contrib, w * dLdw, 0.0)
                 return T_before, S
 
-            # manual 8x unroll of the reverse walk (see forward): entries at
+            # manual unroll of the reverse walk (see forward): entries at
             # or above `bound` are masked no-ops (contrib False -> zero grad
-            # row), so a ragged bound rounds up safely.
-            n_octets = pl.cdiv(bound, 8)
+            # row), so a ragged bound rounds up safely. UNROLL is an env
+            # knob (GMT_BWD_UNROLL, default 8): the 8x body is ~3.6k
+            # instructions with ~20 live (8,128) fields — round-5 walk
+            # counting showed the kernel walks only ~61k entries at the
+            # bench scale (~7 ms of arithmetic of the 24.5 ms kernel), so
+            # the cost is structural (spills/overheads), not entry math.
+            n_octets = pl.cdiv(bound, _BWD_UNROLL)
 
             def octet(i, carry2):
-                e_top = 8 * (n_octets - i) - 1
-                for q in range(8):
+                e_top = _BWD_UNROLL * (n_octets - i) - 1
+                for q in range(_BWD_UNROLL):
                     carry2 = entry(e_top - q, carry2)
                 return carry2
 

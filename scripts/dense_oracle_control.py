@@ -119,9 +119,10 @@ def main():
                                  raster_budget=(64, 12))["render"], 0, 1)
             rd = jnp.clip(render(cam.params(), state, bg,
                                  backend="dense")["render"], 0, 1)
-            pal_ps.append(float(psnr(rp, gt)))
-            den_ps.append(float(psnr(rd, gt)))
-            cross_ps.append(float(psnr(rp, rd)))
+            # ops.image.psnr is per-image over [N, ...]: add the batch dim
+            pal_ps.append(float(psnr(rp[None], gt[None])[0, 0]))
+            den_ps.append(float(psnr(rd[None], gt[None])[0, 0]))
+            cross_ps.append(float(psnr(rp[None], rd[None])[0, 0]))
 
         row = {
             "iteration": it, "n_active": n_act,
