@@ -671,35 +671,35 @@ def _make_bwd_kernel(tiles_x: int, need_dist: bool, need_med: bool,
                 if with_init:
                     dLdw = dLdw + m * dM1 + m * m * dM2
 
-                active = jnp.sum(grad_any.astype(jnp.float32)) > 0
+                # straight-line (round 5): the old per-entry
+                # @pl.when(active) pair skipped the VJP for the ~9% of
+                # walked entries with no contributing pixel (measured by
+                # the GMT_BWD_COUNT build), but two vector-predicated
+                # branches per entry cost pipeline bubbles on EVERY entry.
+                # With no active pixel, every VJP field is exactly zero
+                # (dLdalpha/dLdd/w all carry contrib masks), so the
+                # unconditional write is semantically identical.
+                dLdalpha = jnp.where(
+                    contrib,
+                    T_before * dLdw - (S + TdT) * inv_oma,
+                    0.0)
+                dLdd = w * dD
+                if need_dist or with_init:
+                    dm_dd = FARNEAR / jnp.square(dsafe)
+                if need_dist:
+                    dLdd = dLdd + dDist * 2.0 * w * (m * A_eff - M1_n) * dm_dd
+                if with_init:
+                    dLdd = dLdd + (dM1 + 2.0 * m * dM2) * w * dm_dd
+                if need_med:
+                    dLdd = dLdd + jnp.where(is_med, dMed, 0.0)
+                dLdd = jnp.where(grad_any, dLdd, 0.0)
 
-                @pl.when(active)
-                def _():
-                    dLdalpha = jnp.where(
-                        contrib,
-                        T_before * dLdw - (S + TdT) * inv_oma,
-                        0.0)
-                    dLdd = w * dD
-                    if need_dist or with_init:
-                        dm_dd = FARNEAR / jnp.square(dsafe)
-                    if need_dist:
-                        dLdd = dLdd + dDist * 2.0 * w * (m * A_eff - M1_n) * dm_dd
-                    if with_init:
-                        dLdd = dLdd + (dM1 + 2.0 * m * dM2) * w * dm_dd
-                    if need_med:
-                        dLdd = dLdd + jnp.where(is_med, dMed, 0.0)
-                    dLdd = jnp.where(grad_any, dLdd, 0.0)
-
-                    gfields, gop_f = _geom_manual_bwd(res, opacity,
-                                                      dLdalpha, dLdd)
-                    fields = (gfields + [gop_f]
-                              + [w * dC[ci] for ci in range(3)]
-                              + [w * dN[ci] for ci in range(3)])
-                    gchunk[gs, e] = _reduce_block(fields)
-
-                @pl.when(jnp.logical_not(active))
-                def _():
-                    gchunk[gs, e] = jnp.zeros((STREAMS, F_PAD), jnp.float32)
+                gfields, gop_f = _geom_manual_bwd(res, opacity,
+                                                  dLdalpha, dLdd)
+                fields = (gfields + [gop_f]
+                          + [w * dC[ci] for ci in range(3)]
+                          + [w * dN[ci] for ci in range(3)])
+                gchunk[gs, e] = _reduce_block(fields)
 
                 S = S + jnp.where(contrib, w * dLdw, 0.0)
                 return T_before, S
