@@ -352,32 +352,30 @@ def _make_fwd_kernel(tiles_x: int, with_init: bool = False):
             M1=M1_0, M2=M2_0, mt=zero + 2.0,
             n_contrib=izero, med_e=izero - 1)
 
+        # UNCONDITIONAL clamped in-DMAs (round 5): the per-stream
+        # @pl.when(c < chunks_s[s]) gates (+ the zero-fill else branch)
+        # cost real branch bubbles per chunk; instead every stream always
+        # DMAs a window, clamped to stay in-array. A short stream's extra
+        # window holds OTHER tiles' rows — finite real data whose entries
+        # are masked to alpha=0 by the per-stream count check (in_range),
+        # exactly like the ragged chunk tail. This also removes the
+        # uninitialized-VMEM hazard the zero-fill guarded (the slot is
+        # always written by the DMA).
+        dma_hi = blob_ref.shape[0] - K
+
+        def dma_at(slot, s, c):
+            base = jnp.minimum(starts[s] + c * K, dma_hi)
+            return pltpu.make_async_copy(
+                blob_ref.at[pl.ds(base, K), :],
+                chunk.at[slot, :, s, :], sems.at[slot, s])
+
         def start_dmas(slot, c):
             for s in range(STREAMS):
-                @pl.when(c < chunks_s[s])
-                def _(s=s):
-                    pltpu.make_async_copy(
-                        blob_ref.at[pl.ds(starts[s] + c * K, K), :],
-                        chunk.at[slot, :, s, :], sems.at[slot, s]).start()
+                dma_at(slot, s, c).start()
 
         def wait_dmas(slot, c):
             for s in range(STREAMS):
-                @pl.when(c < chunks_s[s])
-                def _(s=s):
-                    pltpu.make_async_copy(
-                        blob_ref.at[pl.ds(starts[s] + c * K, K), :],
-                        chunk.at[slot, :, s, :], sems.at[slot, s]).wait()
-                # A stream exhausted before the group's longest one skips
-                # this chunk's DMA, but the entry loop still reads the whole
-                # [STREAMS, F_PAD] block: zero its scratch slot so the
-                # `w * fld(i)` products see finite data. `w` is masked to
-                # exact 0 for these entries, but 0 * uninitialized VMEM is
-                # NaN whenever the leftover bits are non-finite —
-                # deterministic NaN under interpret, latent UB on real TPU
-                # (empty tiles are the common case in sparse scenes).
-                @pl.when(c >= chunks_s[s])
-                def _(s=s):
-                    chunk[slot, :, s, :] = jnp.zeros((K, F_PAD), jnp.float32)
+                dma_at(slot, s, c).wait()
 
         @pl.when(n_chunks > 0)
         def _():
@@ -566,31 +564,25 @@ def _make_bwd_kernel(tiles_x: int, need_dist: bool, need_med: bool,
         # multiply per entry)
         TdT = T_final * dT_n
 
+        # Unconditional clamped in-DMAs — same rationale and masking
+        # guarantees as the forward (see _make_fwd_kernel); the out-DMAs
+        # below KEEP their gates (an ungated out-DMA would overwrite
+        # other tiles' gradient rows).
+        dma_hi = blob_ref.shape[0] - K
+
+        def dma_at(slot, s, c):
+            base = jnp.minimum(starts[s] + c * K, dma_hi)
+            return pltpu.make_async_copy(
+                blob_ref.at[pl.ds(base, K), :],
+                chunk.at[slot, :, s, :], sems.at[slot, s])
+
         def start_dmas(slot, c):
             for s in range(STREAMS):
-                @pl.when(c < n_rel[s])
-                def _(s=s):
-                    pltpu.make_async_copy(
-                        blob_ref.at[pl.ds(starts[s] + c * K, K), :],
-                        chunk.at[slot, :, s, :], sems.at[slot, s]).start()
+                dma_at(slot, s, c).start()
 
         def wait_dmas(slot, c):
             for s in range(STREAMS):
-                @pl.when(c < n_rel[s])
-                def _(s=s):
-                    pltpu.make_async_copy(
-                        blob_ref.at[pl.ds(starts[s] + c * K, K), :],
-                        chunk.at[slot, :, s, :], sems.at[slot, s]).wait()
-                # Same uninitialized-scratch hazard as the forward: the
-                # reverse walk starts at the group's max chunk, so a shorter
-                # stream's slot is read-before-written for c >= n_rel[s].
-                # Its garbage never reaches HBM (out-DMAs carry the same
-                # gate and _reduce_block keeps streams in separate rows),
-                # but NaNs flowing through _geom_manual_bwd on skipped
-                # streams are UB we refuse to rely on — zero the slot.
-                @pl.when(c >= n_rel[s])
-                def _(s=s):
-                    chunk[slot, :, s, :] = jnp.zeros((K, F_PAD), jnp.float32)
+                dma_at(slot, s, c).wait()
 
         # Rows in chunks the reverse walk never reaches ([n_rel[s], ...))
         # stay zero via the XLA-side zero buffer aliased into grad_ref; the
