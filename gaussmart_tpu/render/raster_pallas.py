@@ -62,7 +62,15 @@ GROUP = 32          # 2x2 tiles per grid program
 STREAMS = 4
 K = 64              # splat entries per DMA chunk
 F = 20              # blob feature columns (see _build_blob)
-# "scatter" (default) keeps the XLA .at[].add gradient reduction;
+# "compact" (default) scatter-adds only the K-aligned walked-prefix
+# windows the backward's out-DMAs actually write (~28% of the sorted
+# entries at the bench workload; the rest of the full scatter's
+# 15 ns/row floor was spent adding exact zeros) — see _grad_reduce.
+# MEASURED (v5e, 2026-08-21, 100k bench): 17.40 -> 19.31 it/s, and it
+# replaces the scatter-floor explosion at the multi-million-splat
+# scale (the cap tracks tile count, not entry count).
+# "scatter" keeps the full XLA .at[].add gradient reduction (also the
+# lax.cond fallback when the compact windows overflow their cap).
 # "segsum" routes it through the sorted-segment-sum Pallas kernel
 # (segsum_pallas). MEASURED (v5e, 2026-08-21, 100k-splat bench): the
 # microbenched chain (inv sort 2.5 + row gather 3.5 + segsum kernel 5.0)
@@ -70,11 +78,8 @@ F = 20              # blob feature columns (see _build_blob)
 # regresses the train step 14.26 -> 7.9 it/s — the custom-call +
 # reorder chain in the backward breaks XLA's fusion/layout around it
 # (+20 ms of copies and select fusions appear step-wide; see the
-# GMT_SEGSUM_BARRIER layout firewall in _grad_reduce). Scatter stays
-# the default at bench scale; segsum remains the designed answer where
-# the scatter floor explodes (311 ms at 1M splats — BASELINE.md
-# "Splat-count scaling").
-_GRAD_REDUCE = os.environ.get("GMT_GRAD_REDUCE", "scatter")
+# GMT_SEGSUM_BARRIER layout firewall in _grad_reduce).
+_GRAD_REDUCE = os.environ.get("GMT_GRAD_REDUCE", "compact")
 _FWD_UNROLL = int(os.environ.get("GMT_FWD_UNROLL", "8"))
 _BWD_UNROLL = int(os.environ.get("GMT_BWD_UNROLL", "8"))
 # Row width of the per-entry blob and gradient buffers. MEASURED NEGATIVE
@@ -492,7 +497,7 @@ def _make_fwd_kernel(tiles_x: int, with_init: bool = False):
 # ---------------------------------------------------------------------------
 
 def _make_bwd_kernel(tiles_x: int, need_dist: bool, need_med: bool,
-                     with_init: bool = False):
+                     with_init: bool = False, with_ids: bool = False):
     """`need_dist`/`need_med` statically elide the distortion-channel and
     median-depth gradient paths (zero cotangents when the training recipe
     sets lambda_dist=0 / depth_ratio=0 — the default, BASELINE.md).
@@ -691,7 +696,16 @@ def _make_bwd_kernel(tiles_x: int, need_dist: bool, need_med: bool,
                 fields = (gfields + [gop_f]
                           + [w * dC[ci] for ci in range(3)]
                           + [w * dN[ci] for ci in range(3)])
-                gchunk[gs, e] = _reduce_block(fields)
+                blk = _reduce_block(fields)
+                if with_ids:
+                    # carry the entry's splat id (embedded in the blob at
+                    # ID_LANE by _core_fwd_impl) into the gradient row so
+                    # the compact reduction needs no 1-D padded_idx gather
+                    lane = jax.lax.broadcasted_iota(
+                        jnp.int32, (STREAMS, F_PAD), 1)
+                    blk = jnp.where(lane == ID_LANE,
+                                    block4[:, ID_LANE:ID_LANE + 1], blk)
+                gchunk[gs, e] = blk
 
                 S = S + jnp.where(contrib, w * dLdw, 0.0)
                 return T_before, S
@@ -1100,7 +1114,19 @@ def _raster_core(blob, padded_idx, inv_slots, seg_slots, starts, counts,
 def _core_fwd_impl(blob, padded_idx, starts, counts, order, tiles_x,
                    tiles_y, interpret, init=None):
     n_groups = (tiles_x * tiles_y) // STREAMS
-    pblob = jnp.pad(blob, ((0, 0), (0, F_PAD - F)))[padded_idx]  # [M_pad,F_PAD]
+    pb = jnp.pad(blob, ((0, 0), (0, F_PAD - F)))
+    if _GRAD_REDUCE == "compact":
+        # embed each SPLAT's own id at ID_LANE of its [Np1, F_PAD] blob
+        # row (exact-int f32): the entry gather below then replicates the
+        # right id to every (splat, tile) entry for free — no [M_pad]-
+        # scale select (at 1M splats that would be a 4 GB pass). The
+        # kernels read only lanes [:F], so the lane is inert on the
+        # forward path; dummy-row entries carry id Np1-1, which the
+        # reduction zeroes by contract.
+        lane = jax.lax.broadcasted_iota(jnp.int32, pb.shape, 1)
+        ids = jnp.arange(pb.shape[0], dtype=jnp.float32)[:, None]
+        pb = jnp.where(lane == ID_LANE, ids, pb)
+    pblob = pb[padded_idx]                                       # [M_pad,F_PAD]
     kernel = _make_fwd_kernel(tiles_x, with_init=init is not None)
     in_specs = [pl.BlockSpec(memory_space=pltpu.HBM)]
     inputs = (pblob,)
@@ -1146,19 +1172,114 @@ def _core_fwd(blob, padded_idx, inv_slots, seg_slots, starts, counts, order,
 
 
 def _grad_reduce(grad_padded, padded_idx, inv_slots, seg_slots, Np1,
-                 interpret):
+                 interpret, starts=None, counts=None, order=None, ints=None):
     """Per-splat sums of the [M_pad, F_PAD] per-entry gradient rows.
 
-    Reorder rows to work-slot (splat-major) order via the precomputed
-    inverse permutation ([M,128] row gathers are the fast regime), embed
-    each row's splat id at ID_LANE (fuses into the gather's output write),
-    then run the sorted-segment-sum MXU kernel. Replaces the
-    .at[padded_idx].add scatter (15 ns/row, 19% of the train step at the
-    honest budget — BASELINE.md)."""
+    Three modes (GMT_GRAD_REDUCE):
+
+    "compact" (default): scatter-add only the WALKED-PREFIX windows. The
+    backward's reverse walk stops at each tile's last contributor
+    (n_contrib from the forward), so it writes gradient rows only into
+    the K-aligned prefix [starts[t], starts[t] + cdiv(needed_t, K)*K) of
+    each tile's entry range — at the bench workload that is ~61k of
+    ~780k sorted entries (GMT_BWD_COUNT measurement, BASELINE.md round
+    5): ~92% of the full scatter's 15 ns/row cost is spent adding exact
+    zeros. This mode reconstructs the per-tile window sizes from the
+    SAME formula the kernel's out-DMA gates use (min(max n_contrib over
+    the tile's pixels, counts[t])), expands the windows into a compact
+    C-slot row list with the parity-merge rank-select (the binning
+    primitive — sort + cumsum, no scatter), row-gathers the compact rows
+    ([*,128] gathers are the fast regime), and scatter-adds C rows
+    instead of M_pad. Row targets ride IN the rows at lane ID_LANE
+    (written by the kernel from the id-embedded blob), so no 1-D
+    padded_idx gather is needed. If the windows ever exceed the static
+    cap C (a full-saturation scene), a lax.cond falls back to the full
+    scatter — never a dropped gradient.
+
+    "scatter": the reference-shaped full [M_pad] scatter-add.
+
+    "segsum": reorder rows to work-slot (splat-major) order via the
+    precomputed inverse permutation, embed ids at ID_LANE, then run the
+    sorted-segment-sum MXU kernel (segsum_pallas) — the opt-in answer
+    for the multi-million-splat regime where the scatter floor explodes
+    superlinearly (BASELINE.md "Splat-count scaling")."""
     if _GRAD_REDUCE == "scatter":
         grad_blob = jnp.zeros((Np1, F), jnp.float32).at[padded_idx].add(
             grad_padded[:, :F], mode="drop")
         return grad_blob.at[Np1 - 1].set(0.0)
+    if _GRAD_REDUCE == "compact":
+        assert Np1 - 1 < 2 ** 24, (
+            "compact grad reduce rides splat ids as exact-int f32 at "
+            f"ID_LANE; N={Np1 - 1} exceeds the 2^24 exact-int range")
+        M_pad = grad_padded.shape[0]
+        n_gs = order.shape[0]                      # == n_tiles, (g,s) flat
+        # Per-(group,stream) walked-entry count — the EXACT mirror of the
+        # backward kernel's `needed`/`n_rel`: stream s owns sublanes
+        # {s, s+4} of the [8,128] pixel block (see _stream_pixels).
+        nc = ints[:, 0].reshape(-1, 2, STREAMS, 128)
+        per_gs = jnp.max(nc, axis=(1, 3)).reshape(-1)   # [n_gs] int32
+        counts_gs = counts[order]
+        starts_gs = starts[order]
+        needed = jnp.minimum(per_gs, counts_gs)
+        kcnt = ((needed + K - 1) // K) * K         # rows out-DMA'd per tile
+        cum = jnp.cumsum(kcnt)
+        total = cum[n_gs - 1]
+        cum_prev = cum - kcnt
+        cap_env = os.environ.get("GMT_COMPACT_CAP")
+        if cap_env:
+            C = int(cap_env)
+        else:
+            # The walked-window total is bounded by IMAGE complexity, not
+            # entry count: sum_t cdiv(min(max-n_contrib_t, counts_t),K)*K
+            # ≈ n_tiles*K alignment padding + sum_t max-per-pixel
+            # contributor depth. MEASURED (v5e bench scene, (16,4)
+            # budget): 137 rows/tile at 100k splats, 334 at 1M — the
+            # per-tile MAX statistic grows slowly with entry density, so
+            # the default scales 160 rows/tile by (entries/tile / 430)
+            # ^0.4 (calibrated on those two points: 160 at 100k, ~400 at
+            # 1M, ~20% headroom at both). Overflow steps (e.g. right
+            # after an opacity reset, when per-pixel lists deepen) take
+            # the lax.cond full-scatter fallback — slower, never wrong.
+            rpt_env = os.environ.get("GMT_COMPACT_ROWS_PER_TILE")
+            if rpt_env:
+                rpt = int(rpt_env)
+            else:
+                ept = M_pad / float(n_gs)
+                rpt = int(160 * max(1.0, ept / 430.0) ** 0.4)
+            C = min(M_pad, _round_up(n_gs * rpt, 512))
+
+        def compact(gp):
+            # parity-merge rank-select (see _binning): markers 2*cum_prev
+            # (even, pre-sorted) + slot keys 2j+1; after the unstable sort
+            # the owner of each slot position is cumsum(is_marker)-1.
+            mk = 2 * jnp.minimum(cum_prev, C)
+            sk = 2 * jnp.arange(C, dtype=jnp.int32) + 1
+            kA = jax.lax.sort(jnp.concatenate([mk, sk]), is_stable=False)
+            is_m = (kA & 1) == 0
+            s = jnp.cumsum(is_m.astype(jnp.int32)) - 1
+            m = jnp.arange(C + n_gs, dtype=jnp.int32) - s - 1
+            tab = jnp.stack([cum_prev, starts_gs, kcnt], axis=1)
+            g = tab[jnp.clip(s, 0, n_gs - 1)]      # [C+n_gs, 3] row gather
+            jj = m - g[:, 0]
+            live = (~is_m) & (jj >= 0) & (jj < g[:, 2])
+            # dead positions gather the guaranteed-zero final safety row
+            # (never written by any out-DMA, zero id lane -> adds 0 to
+            # splat 0)
+            row = jnp.where(live, g[:, 1] + jj, M_pad - 1)
+            rows_c = gp[row]                       # [C+n_gs, 128]
+            tgt = rows_c[:, ID_LANE].astype(jnp.int32)
+            out = jnp.zeros((Np1, F), jnp.float32).at[tgt].add(
+                rows_c[:, :F], mode="drop")
+            return out.at[Np1 - 1].set(0.0)
+
+        def full(gp):
+            out = jnp.zeros((Np1, F), jnp.float32).at[padded_idx].add(
+                gp[:, :F], mode="drop")
+            return out.at[Np1 - 1].set(0.0)
+
+        if C >= M_pad:
+            return full(grad_padded)
+        return jax.lax.cond(total <= C, compact, full, grad_padded)
     # Pre-pad the reorder indices so the kernel's chunk over-read windows
     # stay in bounds without a [W, 128] jnp.pad copy inside the segsum:
     # dummy slots gather the guaranteed-zero last padded row, with seg id
@@ -1203,7 +1324,8 @@ def _core_bwd(tiles_x, tiles_y, interpret, need_dist, need_med, res, ct_maps):
     ct = _maps_to_fb(ct_maps[:11], order, tiles_x, tiles_y)
     ct = jnp.pad(ct, ((0, 0), (0, CH - 11), (0, 0), (0, 0)))
 
-    kernel = _make_bwd_kernel(tiles_x, need_dist, need_med)
+    kernel = _make_bwd_kernel(tiles_x, need_dist, need_med,
+                              with_ids=_GRAD_REDUCE == "compact")
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_groups,),
@@ -1237,7 +1359,8 @@ def _core_bwd(tiles_x, tiles_y, interpret, need_dist, need_med, res, ct_maps):
     )(starts, counts, order, pblob, fb, ints, ct, gzero)
 
     grad_blob = _grad_reduce(grad_padded, padded_idx, inv_slots, seg_slots,
-                             Np1, interpret)
+                             Np1, interpret, starts=starts, counts=counts,
+                             order=order, ints=ints)
     return grad_blob, None, None, None, None, None, None
 
 
@@ -1277,7 +1400,8 @@ def _seeded_bwd(tiles_x, tiles_y, interpret, need_dist, need_med, res,
     # all CH channels carry cotangents here (incl. T/M1/M2 raw outputs)
     ct = _maps_to_fb(ct_maps, order, tiles_x, tiles_y)
 
-    kernel = _make_bwd_kernel(tiles_x, need_dist, need_med, with_init=True)
+    kernel = _make_bwd_kernel(tiles_x, need_dist, need_med, with_init=True,
+                              with_ids=_GRAD_REDUCE == "compact")
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_groups,),
@@ -1318,7 +1442,8 @@ def _seeded_bwd(tiles_x, tiles_y, interpret, need_dist, need_med, res,
     )(starts, counts, order, pblob, fb, ints, ct, init_fb, gzero)
 
     grad_blob = _grad_reduce(grad_padded, padded_idx, inv_slots, seg_slots,
-                             Np1, interpret)
+                             Np1, interpret, starts=starts, counts=counts,
+                             order=order, ints=ints)
     return grad_blob, gi, None, None, None, None, None, None
 
 

@@ -117,3 +117,47 @@ def test_integrated_segsum_grads_match_scatter(tmp_path):
         outs[mode] = np.load(f)
     np.testing.assert_allclose(outs["segsum"], outs["scatter"],
                                rtol=1e-5, atol=1e-6)
+
+
+def test_integrated_compact_grads_match_scatter(tmp_path):
+    """The compact (walked-prefix) gradient reduction matches the full
+    scatter through rasterize_tiled's custom VJP — both the fast path and
+    the overflow lax.cond fallback (forced with a tiny GMT_COMPACT_CAP).
+    Runs in subprocesses: GMT_GRAD_REDUCE is read at import time."""
+    import subprocess, sys, os, textwrap
+    prog = textwrap.dedent("""
+        import os, sys
+        sys.path.insert(0, os.getcwd())
+        sys.path.insert(0, os.path.join(os.getcwd(), "tests"))
+        import numpy as np, jax, jax.numpy as jnp
+        jax.config.update("jax_platforms", "cpu")
+        from test_raster_pallas import prep_scene
+        from gaussmart_tpu.render.raster_pallas import rasterize_tiled
+        rng = np.random.default_rng(7)
+        cam, prep, _ = prep_scene(rng, n=120, width=64, height=64)
+        n = prep.depth.shape[0]
+        bg = jnp.zeros(3)
+        def loss(opac, T):
+            p = prep._replace(opacity=opac, T=T)
+            out = rasterize_tiled(p, jnp.zeros((n, 2)), bg, 64, 64,
+                                  interpret=True)
+            w = jnp.cos(jnp.arange(3) + 1.0)[:, None, None]
+            return jnp.sum(out["image"] * w) + jnp.sum(out["allmap"][:6])
+        go, gT = jax.grad(loss, argnums=(0, 1))(prep.opacity, prep.T)
+        np.savez(sys.argv[1], go=np.asarray(go), gT=np.asarray(gT))
+    """)
+    outs = {}
+    runs = {"scatter": {}, "compact": {}, "compact_fb": {
+        "GMT_COMPACT_CAP": "64"}}
+    for name, extra in runs.items():
+        env = dict(os.environ, GMT_GRAD_REDUCE=name.split("_")[0],
+                   JAX_PLATFORMS="cpu", **extra)
+        f = tmp_path / f"g_{name}.npz"
+        subprocess.run([sys.executable, "-c", prog, str(f)], check=True,
+                       env=env, cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
+        outs[name] = np.load(f)
+    for name in ("compact", "compact_fb"):
+        for k in ("go", "gT"):
+            np.testing.assert_allclose(outs[name][k], outs["scatter"][k],
+                                       rtol=1e-4, atol=1e-4)
